@@ -1,0 +1,144 @@
+"""GRU / LSTM recurrences as ``lax.scan`` with batched MXU matmuls.
+
+The reference's hot recurrences are
+  * ``GruBlock``: bidirectional ``nn.GRU(C, C//2)`` over image rows/columns
+    (model/tsrn.py:491-508) — B*H sequences of length W per call, 10 sweeps
+    per TSRN forward;
+  * ``BidirectionalLSTM``: ``nn.LSTM`` over 26 CTC time steps
+    (model/crnn/crnn.py:5-26).
+
+TPU-first design: the input projection for *all* timesteps is one large
+matmul done outside the scan ([B*T, C] x [C, 3H]) so the scan body only does
+the small recurrent matmul ([B, H] x [H, 3H]) plus elementwise gates.  Gate
+math follows torch's cell equations and weight layout exactly (gate order
+r,z,n for GRU; i,f,g,o for LSTM) so torch checkpoints import directly.
+
+Weight convention: ``w_ih``: [gates*H, C] (torch layout), ``w_hh``:
+[gates*H, H], biases ``b_ih``/``b_hh``: [gates*H].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _split3(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    h = x.shape[-1] // 3
+    return x[..., :h], x[..., h : 2 * h], x[..., 2 * h :]
+
+
+def gru_scan(
+    x_btc: jax.Array,
+    params: Dict[str, jax.Array],
+    reverse: bool = False,
+    h0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Unidirectional GRU; returns all hidden states [B, T, H].
+
+    Matches ``torch.nn.GRU`` (batch_first) cell math:
+      r = sigma(W_ir x + b_ir + W_hr h + b_hr)
+      z = sigma(W_iz x + b_iz + W_hz h + b_hz)
+      n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+      h' = (1 - z) * n + z * h
+    """
+    w_ih, w_hh = params["w_ih"], params["w_hh"]
+    b_ih = params.get("b_ih")
+    b_hh = params.get("b_hh")
+    hidden = w_hh.shape[-1]
+    b = x_btc.shape[0]
+
+    # big input projection outside the scan (MXU-friendly)
+    xp = jnp.einsum("btc,gc->btg", x_btc, w_ih)
+    if b_ih is not None:
+        xp = xp + b_ih
+    xp_t = jnp.swapaxes(xp, 0, 1)  # [T, B, 3H]
+
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), x_btc.dtype)
+
+    def step(h, xp_step):
+        hp = h @ w_hh.T
+        if b_hh is not None:
+            hp = hp + b_hh
+        xr, xz, xn = _split3(xp_step)
+        hr, hz, hn = _split3(hp)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def bigru(
+    x_btc: jax.Array,
+    fw: Dict[str, jax.Array],
+    bw: Dict[str, jax.Array],
+) -> jax.Array:
+    """Bidirectional GRU; concat of forward/backward states, [B, T, 2H]."""
+    y_f = gru_scan(x_btc, fw, reverse=False)
+    y_b = gru_scan(x_btc, bw, reverse=True)
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+def _split4(x: jax.Array):
+    h = x.shape[-1] // 4
+    return x[..., :h], x[..., h : 2 * h], x[..., 2 * h : 3 * h], x[..., 3 * h :]
+
+
+def lstm_scan(
+    x_btc: jax.Array,
+    params: Dict[str, jax.Array],
+    reverse: bool = False,
+) -> jax.Array:
+    """Unidirectional LSTM; returns all hidden states [B, T, H].
+
+    Matches ``torch.nn.LSTM`` gate order (i, f, g, o).
+    """
+    w_ih, w_hh = params["w_ih"], params["w_hh"]
+    b_ih = params.get("b_ih")
+    b_hh = params.get("b_hh")
+    hidden = w_hh.shape[-1]
+    b = x_btc.shape[0]
+
+    xp = jnp.einsum("btc,gc->btg", x_btc, w_ih)
+    if b_ih is not None:
+        xp = xp + b_ih
+    xp_t = jnp.swapaxes(xp, 0, 1)
+
+    h0 = jnp.zeros((b, hidden), x_btc.dtype)
+    c0 = jnp.zeros((b, hidden), x_btc.dtype)
+
+    def step(carry, xp_step):
+        h, c = carry
+        hp = h @ w_hh.T
+        if b_hh is not None:
+            hp = hp + b_hh
+        xi, xf, xg, xo = _split4(xp_step)
+        hi, hf, hg, ho = _split4(hp)
+        i = jax.nn.sigmoid(xi + hi)
+        f = jax.nn.sigmoid(xf + hf)
+        g = jnp.tanh(xg + hg)
+        o = jax.nn.sigmoid(xo + ho)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    _, ys = jax.lax.scan(step, (h0, c0), xp_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def bilstm(
+    x_btc: jax.Array,
+    fw: Dict[str, jax.Array],
+    bw: Dict[str, jax.Array],
+) -> jax.Array:
+    """Bidirectional LSTM, [B, T, 2H]."""
+    y_f = lstm_scan(x_btc, fw, reverse=False)
+    y_b = lstm_scan(x_btc, bw, reverse=True)
+    return jnp.concatenate([y_f, y_b], axis=-1)
