@@ -1,0 +1,78 @@
+"""Numerical parity of flax models vs torch golden implementations
+(weights converted with tpgsr_tpu.interop.torch_import)."""
+
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_mirror import build_torch_crnn, build_torch_infogen, build_torch_srb_tl
+from tpgsr_tpu.interop import torch_import as ti
+from tpgsr_tpu.models.crnn import CRNN
+from tpgsr_tpu.models.layers import pixel_shuffle
+from tpgsr_tpu.models.tsrn import InfoGen, RecurrentResidualBlockTL
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 6, 16)).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(x, 2))
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ref = torch.pixel_shuffle(xt, 2).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_crnn_matches_torch(rng):
+    tm = build_torch_crnn().eval()
+    variables = ti.import_crnn(_sd(tm))
+    x = rng.random((2, 32, 100, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()  # [T,B,C]
+    ours = np.asarray(CRNN().apply(variables, x, train=False))
+    assert ours.shape == ref.shape == (26, 2, 37)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_infogen_matches_torch(rng):
+    tm = build_torch_infogen().eval()
+    sd = _sd(tm)
+    params, stats = {}, {}
+    for k in (1, 2, 3, 4):
+        ti._convT(params, sd, f"tconv{k}", (f"tconv{k}",))
+        ti._bn(params, stats, sd, f"bn{k}", (f"bn{k}",))
+    t = rng.random((2, 1, 26, 37), dtype=np.float32)  # NHWC prior
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(t, (0, 3, 1, 2)))).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(
+        InfoGen(37, 32).apply({"params": params, "batch_stats": stats}, t, train=False)
+    )
+    assert ours.shape == ref.shape  # [B, 1, 203, 32]
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_srb_tl_matches_torch(rng):
+    tm = build_torch_srb_tl(channels=16, text_channels=8).eval()
+    sd = _sd(tm)
+    params, stats = {}, {}
+    ti._conv(params, sd, "conv1", ("conv1",))
+    ti._bn(params, stats, sd, "bn1", ("bn1",))
+    ti._conv(params, sd, "conv2", ("conv2",))
+    ti._bn(params, stats, sd, "bn2", ("bn2",))
+    for g in ("gru1", "gru2"):
+        ti._conv(params, sd, f"{g}.conv1", (g, "conv1"))
+        ti._rnn(params, sd, f"{g}.gru", (g, "gru"))
+    x = rng.random((2, 8, 16, 16), dtype=np.float32)
+    temb = rng.random((2, 8, 16, 8), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(temb, (0, 3, 1, 2))),
+        ).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(
+        RecurrentResidualBlockTL(16, 8).apply(
+            {"params": params, "batch_stats": stats}, x, temb, train=False
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -1,0 +1,180 @@
+"""Convert torch checkpoints (state_dicts) to flax variable trees.
+
+The reference depends on pretrained torch recognizers for its accuracy
+metrics (crnn.pth, None-ResNet-None-CTC.pth, aster_demo.pth.tar,
+moran_demo.pth — interfaces/base.py:634-718, 831-842, 587-606).  These
+converters make those checkpoints loadable:
+
+  layout rules
+    Conv2d        [O,I,kh,kw]  -> HWIO (kh,kw,I,O)
+    ConvTranspose [I,O,kh,kw]  -> spatially flipped HWIO (see
+                                  TorchConvTranspose docstring)
+    Linear        [O,I]        -> (I,O)
+    LSTM/GRU      torch layout kept verbatim (ops/rnn consumes it)
+    BatchNorm     weight/bias -> params scale/bias;
+                  running_mean/var -> batch_stats mean/var
+
+Input is a plain ``{name: np.ndarray}`` dict; use ``load_torch_state_dict``
+to read a .pth with torch if available, else a numpy .npz with the same keys.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth/.tar checkpoint (or an .npz) into numpy arrays."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch  # torch-cpu is available in this image
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    out = {}
+    for k, v in obj.items():
+        k = k.replace("module.", "")  # strip DataParallel prefixes (base.py:596-598)
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convT_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(np.flip(w, (2, 3)), (2, 3, 0, 1)).copy()
+
+
+def linear_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value, np.float32)
+
+
+def _bn(params: Dict, stats: Dict, sd: Dict, torch_prefix: str, flax_path: Tuple[str, ...]):
+    """Map a torch BatchNorm to our BatchNorm wrapper (inner 'BatchNorm_0')."""
+    inner = flax_path + ("BatchNorm_0",)
+    _set(params, inner + ("scale",), sd[f"{torch_prefix}.weight"])
+    _set(params, inner + ("bias",), sd[f"{torch_prefix}.bias"])
+    _set(stats, inner + ("mean",), sd[f"{torch_prefix}.running_mean"])
+    _set(stats, inner + ("var",), sd[f"{torch_prefix}.running_var"])
+
+
+def _conv(params: Dict, sd: Dict, torch_prefix: str, flax_path: Tuple[str, ...]):
+    _set(params, flax_path + ("kernel",), conv_w(sd[f"{torch_prefix}.weight"]))
+    if f"{torch_prefix}.bias" in sd:
+        _set(params, flax_path + ("bias",), sd[f"{torch_prefix}.bias"])
+
+
+def _convT(params: Dict, sd: Dict, torch_prefix: str, flax_path: Tuple[str, ...]):
+    _set(params, flax_path + ("kernel",), convT_w(sd[f"{torch_prefix}.weight"]))
+    if f"{torch_prefix}.bias" in sd:
+        _set(params, flax_path + ("bias",), sd[f"{torch_prefix}.bias"])
+
+
+def _linear(params: Dict, sd: Dict, torch_prefix: str, flax_path: Tuple[str, ...]):
+    _set(params, flax_path + ("kernel",), linear_w(sd[f"{torch_prefix}.weight"]))
+    if f"{torch_prefix}.bias" in sd:
+        _set(params, flax_path + ("bias",), sd[f"{torch_prefix}.bias"])
+
+
+def _rnn(params: Dict, sd: Dict, torch_prefix: str, flax_path: Tuple[str, ...]):
+    """Copy torch LSTM/GRU l0 (+reverse) weights verbatim."""
+    for suffix in ("", "_reverse"):
+        for part in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"):
+            key = f"{torch_prefix}.{part}{suffix}"
+            if key in sd:
+                ours = part.replace("weight_", "w_").replace("bias_", "b_") + suffix
+                _set(params, flax_path + (ours,), sd[key])
+
+
+def import_crnn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the meijieru CRNN state_dict (model/crnn/crnn.py:29-90)."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(7):
+        _conv(params, sd, f"cnn.conv{i}", (f"conv{i}",))
+        if f"cnn.batchnorm{i}.weight" in sd:
+            _bn(params, stats, sd, f"cnn.batchnorm{i}", (f"batchnorm{i}",))
+    for j in (0, 1):
+        _rnn(params, sd, f"rnn.{j}.rnn", (f"rnn{j}", "rnn"))
+        _linear(params, sd, f"rnn.{j}.embedding", (f"rnn{j}", "embedding"))
+    return {"params": params, "batch_stats": stats}
+
+
+def import_tsrn(sd: Dict[str, np.ndarray], srb_nums: int = 5, tl: bool = True) -> Dict[str, Any]:
+    """Map TSRN / TSRN_TL state_dicts (model/tsrn.py:18-215)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    _conv(params, sd, "block1.0", ("block1_conv",))
+    _set(params, ("block1_prelu", "alpha"), sd["block1.1.weight"])
+
+    def grublock(tp, fp):
+        _conv(params, sd, f"{tp}.conv1", fp + ("conv1",))
+        _rnn(params, sd, f"{tp}.gru", fp + ("gru",))
+
+    for i in range(srb_nums):
+        tp = f"block{i + 2}"
+        fp = (f"block{i + 2}",)
+        _conv(params, sd, f"{tp}.conv1", fp + ("conv1",))
+        _bn(params, stats, sd, f"{tp}.bn1", fp + ("bn1",))
+        _conv(params, sd, f"{tp}.conv2", fp + ("conv2",))
+        _bn(params, stats, sd, f"{tp}.bn2", fp + ("bn2",))
+        grublock(f"{tp}.gru1", fp + ("gru1",))
+        grublock(f"{tp}.gru2", fp + ("gru2",))
+
+    if tl and "infoGen.tconv1.weight" in sd:
+        for k in (1, 2, 3, 4):
+            _convT(params, sd, f"infoGen.tconv{k}", ("infoGen", f"tconv{k}"))
+            _bn(params, stats, sd, f"infoGen.bn{k}", ("infoGen", f"bn{k}"))
+
+    last = srb_nums + 2
+    _conv(params, sd, f"block{last}.0", (f"block{last}_conv",))
+    _bn(params, stats, sd, f"block{last}.1", (f"block{last}_bn",))
+
+    out_block = srb_nums + 3
+    # UpsampleBLock(s) then final conv inside nn.Sequential
+    j = 0
+    while f"block{out_block}.{j}.conv.weight" in sd:
+        _conv(params, sd, f"block{out_block}.{j}.conv", (f"block{out_block}_up{j}", "conv"))
+        j += 1
+    _conv(params, sd, f"block{out_block}.{j}", (f"block{out_block}_conv",))
+
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def _import_stn_head(params: Dict, stats: Dict, sd: Dict, tp: str, fp: Tuple[str, ...]):
+    """Map STNHead (model/stn_head.py:25-106) onto models.stn.STNHead."""
+    # stn_convnet indices of the conv blocks in the torch nn.Sequential
+    # (conv3x3_block at 0,2,4,6,8,10; maxpools between)
+    for n, cid in enumerate((0, 2, 4, 6, 8, 10)):
+        blk = fp + (f"_ConvBlock_{n}",)
+        _set(params, blk + ("kernel",), conv_w(sd[f"{tp}.stn_convnet.{cid}.0.weight"]))
+        _set(params, blk + ("bias",), sd[f"{tp}.stn_convnet.{cid}.0.bias"])
+        _bn(params, stats, sd, f"{tp}.stn_convnet.{cid}.1", blk)
+    _set(params, fp + ("fc1_kernel",), linear_w(sd[f"{tp}.stn_fc1.0.weight"]))
+    _set(params, fp + ("fc1_bias",), sd[f"{tp}.stn_fc1.0.bias"])
+    # fc1 BatchNorm1d is the direct nn.BatchNorm inside STNHead
+    inner = fp + ("BatchNorm_0",)
+    _set(params, inner + ("scale",), sd[f"{tp}.stn_fc1.1.weight"])
+    _set(params, inner + ("bias",), sd[f"{tp}.stn_fc1.1.bias"])
+    _set(stats, inner + ("mean",), sd[f"{tp}.stn_fc1.1.running_mean"])
+    _set(stats, inner + ("var",), sd[f"{tp}.stn_fc1.1.running_var"])
+    _set(params, fp + ("fc2_kernel",), linear_w(sd[f"{tp}.stn_fc2.weight"]))
+    _set(params, fp + ("fc2_bias",), sd[f"{tp}.stn_fc2.bias"])

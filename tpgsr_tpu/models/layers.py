@@ -1,0 +1,251 @@
+"""Flax building blocks with torch-compatible semantics and initialization.
+
+All modules are NHWC (TPU-native layout).  Initializers replicate torch
+defaults (kaiming-uniform a=sqrt(5) == U(±1/sqrt(fan_in)) for conv/linear,
+U(±1/sqrt(hidden)) for RNNs, BN weight=1/bias=0, PReLU 0.25) so training
+dynamics match the reference; weight layouts are chosen so torch checkpoints
+import with simple transposes (see tpgsr_tpu.interop.torch_import).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpgsr_tpu.ops.rnn import bigru, bilstm
+
+
+def torch_uniform_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchConv(nn.Module):
+    """Conv2D with torch nn.Conv2d defaults (init + explicit zero padding).
+
+    kernel layout: HWIO.  ``padding`` is the symmetric torch padding int/pair.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        fan_in = in_ch * kh * kw
+        kernel = self.param("kernel", torch_uniform_init(fan_in), (kh, kw, in_ch, self.features))
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=self.strides,
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2D matching torch nn.ConvTranspose2d semantics exactly:
+    out = (in-1)*stride - 2*padding + kernel + output_padding.
+
+    Implemented as an input-dilated convolution with a spatially-flipped
+    kernel (the mathematical transpose), which XLA lowers efficiently.
+    Kernel param layout: HWIO of the *equivalent forward conv* — i.e.
+    [kh, kw, in_ch, out_ch]; torch's [in, out, kh, kw] imports via
+    flip(2,3).transpose(2,3,0,1).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    output_padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        # torch convT fan_in = out_ch * kh * kw (weight shape [in,out,kh,kw])
+        fan_in = self.features * kh * kw
+        kernel = self.param("kernel", torch_uniform_init(fan_in), (kh, kw, in_ch, self.features))
+        ph, pw = self.padding
+        oph, opw = self.output_padding
+        sh, sw = self.strides
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class TorchLinear(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_uniform_init(fan_in), (fan_in, self.features))
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)."""
+
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5, dtype=x.dtype
+        )(x)
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU: single learnable slope, init 0.25."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32), (1,))
+        a = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+def mish(x: jax.Array) -> jax.Array:
+    """x * tanh(softplus(x)) (model/tsrn.py:480-488)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC PixelShuffle with torch channel ordering.
+
+    in [B,H,W,C*r*r] with channel index c*r*r + r1*r + r2 ->
+    out[B, H*r, W*r, C].
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))  # b h r1 w r2 c
+    return x.reshape(b, h * r, w * r, c)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU over axis 1 of a [B, T, C] array -> [B, T, 2*hidden].
+
+    Weight layout matches torch nn.GRU (w_ih [3H,C] in r,z,n order).
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        init = torch_uniform_init(self.hidden)
+
+        def p(name, shape):
+            return self.param(name, init, shape).astype(x.dtype)
+
+        fw = {
+            "w_ih": p("w_ih_l0", (3 * self.hidden, c)),
+            "w_hh": p("w_hh_l0", (3 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0", (3 * self.hidden,)),
+            "b_hh": p("b_hh_l0", (3 * self.hidden,)),
+        }
+        bw = {
+            "w_ih": p("w_ih_l0_reverse", (3 * self.hidden, c)),
+            "w_hh": p("w_hh_l0_reverse", (3 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0_reverse", (3 * self.hidden,)),
+            "b_hh": p("b_hh_l0_reverse", (3 * self.hidden,)),
+        }
+        return bigru(x, fw, bw)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM over axis 1 of [B, T, C] -> [B, T, 2*hidden]."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        init = torch_uniform_init(self.hidden)
+
+        def p(name, shape):
+            return self.param(name, init, shape).astype(x.dtype)
+
+        fw = {
+            "w_ih": p("w_ih_l0", (4 * self.hidden, c)),
+            "w_hh": p("w_hh_l0", (4 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0", (4 * self.hidden,)),
+            "b_hh": p("b_hh_l0", (4 * self.hidden,)),
+        }
+        bw = {
+            "w_ih": p("w_ih_l0_reverse", (4 * self.hidden, c)),
+            "w_hh": p("w_hh_l0_reverse", (4 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0_reverse", (4 * self.hidden,)),
+            "b_hh": p("b_hh_l0_reverse", (4 * self.hidden,)),
+        }
+        return bilstm(x, fw, bw)
+
+
+class GruBlock(nn.Module):
+    """1x1 conv -> row-wise bidirectional GRU (model/tsrn.py:491-508).
+
+    Input [B,H,W,C_in]; the GRU runs over W for each of the B*H rows with
+    hidden size out_channels//2, so the output is [B,H,W,out_channels].
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.out_channels % 2 == 0
+        x = TorchConv(self.out_channels, (1, 1), name="conv1")(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b * h, w, c)
+        x = BiGRU(hidden=self.out_channels // 2, name="gru")(x)
+        return x.reshape(b, h, w, self.out_channels)
+
+
+class UpsampleBlock(nn.Module):
+    """conv -> PixelShuffle -> mish (model/tsrn.py:464-477)."""
+
+    in_channels: int
+    up_scale: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.in_channels * self.up_scale**2, (3, 3), padding=(1, 1), name="conv")(x)
+        x = pixel_shuffle(x, self.up_scale)
+        return mish(x)
