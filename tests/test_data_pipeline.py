@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from tests.fixtures import make_textzoom_lmdb
+from tpgsr_tpu.charset import CTC_CHAR_TO_ID
+from tpgsr_tpu.data.collate import (
+    CollateConfig,
+    collate_real,
+    collate_real_wtl,
+    collate_real_wtl_amask,
+)
+from tpgsr_tpu.data.datasets import ConcatDataset, TextZoomDataset
+from tpgsr_tpu.data.loader import DataLoader
+
+
+@pytest.fixture(scope="module")
+def tz_root(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tz")
+    return make_textzoom_lmdb(str(p), n=10)
+
+
+def test_dataset_reads(tz_root):
+    ds = TextZoomDataset(tz_root, voc_type="upper")
+    assert len(ds) == 10
+    hr, lr, label = ds[0]
+    assert hr.size == (128, 32) and lr.size == (64, 16)
+    assert label == "hello"
+
+
+def test_concat(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cat = ConcatDataset([ds, ds])
+    assert len(cat) == 20
+    assert cat[15][2] == ds[5][2]
+
+
+def test_collate_real_shapes(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=True)
+    batch = collate_real([ds[i] for i in range(4)], cfg)
+    assert batch["hr"].shape == (4, 32, 128, 4)
+    assert batch["lr"].shape == (4, 16, 64, 4)
+    assert batch["hr"].dtype == np.float32
+    assert 0.0 <= batch["hr"].min() and batch["hr"].max() <= 1.0
+    # mask channel is binary
+    m = batch["hr"][..., 3]
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_collate_wtl_quirk(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=False)
+    batch = collate_real_wtl([ds[i] for i in range(2)], cfg)  # 'hello', 'world'
+    v = batch["label_vecs"]
+    assert v.shape == (2, 1, 26, 37)
+    # 'hello' -> 'heelo' after the reference's word[2]='e' corruption
+    ids = v[0, 0].argmax(-1)[:5]
+    expect = [CTC_CHAR_TO_ID[c] for c in "heelo"]
+    assert ids.tolist() == expect
+
+
+def test_collate_wtl_amask(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=True)
+    batch = collate_real_wtl_amask([ds[i] for i in range(4)], cfg)
+    assert batch["label_vecs"].shape == (4, 1, 26, 37)
+    assert batch["ctc_labels"].shape == (4, 15)
+    assert batch["weighted_tics"].tolist() == [1.0] * 4
+    # no corruption in the train collate
+    ids = batch["label_vecs"][0, 0].argmax(-1)[:5]
+    assert ids.tolist() == [CTC_CHAR_TO_ID[c] for c in "hello"]
+    assert batch["ctc_lengths"][0] == 5
+
+
+def test_loader_epoch(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=True)
+    dl = DataLoader(ds, 4, lambda b: collate_real(b, cfg), shuffle=True, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    assert all(b["hr"].shape == (4, 32, 128, 4) for b in batches)
+    # different epoch order (shuffle advances)
+    b2 = list(dl)
+    assert len(b2) == 2

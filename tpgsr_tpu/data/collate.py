@@ -1,0 +1,140 @@
+"""Batch assembly ("collate") functions producing fixed-shape numpy arrays.
+
+Parity targets (dataset/dataset.py):
+  * ``collate_real``      == ``alignCollate_real`` (:1139-1152)
+  * ``collate_real_wtl``  == ``alignCollate_realWTL`` (:1155-1223) — val
+    collate for TL archs; includes the reference's intentional ``word[2]='e'``
+    corruption of words longer than 4 chars (:1176-1179), which only affects
+    the (unused-for-accuracy) one-hot tensor.
+  * ``collate_real_wtl_amask`` == ``alignCollate_realWTLAMask`` (:1226-1323)
+    — train collate for TL archs: adds CTC labels (+blank-fallback one-hot
+    and ``weighted_tics`` 0/1 has-label flags).
+  * ``collate_syn``       == ``alignCollate_syn`` (:901-992) — HR from the
+    single image, LR by PIL-bicubic downsample.
+
+XLA needs static shapes, so unlike the reference's per-batch ``max_len``
+one-hot tensor we pad the prior-label tensor to a fixed ``prior_len`` (26 —
+the CRNN sequence length) and CTC labels to ``max_label_len`` (15, the
+reference's WTLAMask truncation).  Arrays are NHWC; the prior tensor is
+[B, 1, T, n_classes] (reference: [B, C, 1, T]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from tpgsr_tpu.charset import CTC_CHAR_TO_ID, CTC_NUM_CLASSES
+from tpgsr_tpu.data.transforms import pil_downsample, resize_normalize
+
+
+@dataclass(frozen=True)
+class CollateConfig:
+    imgH: int = 32
+    imgW: int = 128
+    down_sample_scale: int = 2
+    mask: bool = False
+    prior_len: int = 26  # static pad of the one-hot label tensor
+    max_label_len: int = 15  # WTLAMask truncation (dataset.py:1282)
+    train: bool = True
+
+
+def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    hrs, lrs, labels = [], [], []
+    for img_hr, img_lr, label in batch:
+        hrs.append(resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask))
+        lrs.append(
+            resize_normalize(
+                img_lr,
+                (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale),
+                cfg.mask,
+            )
+        )
+        labels.append(label)
+    return np.stack(hrs), np.stack(lrs), labels
+
+
+def collate_real(batch, cfg: CollateConfig) -> Dict:
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    return {"hr": hr, "lr": lr, "labels": labels}
+
+
+def _onehot_rows(word: str) -> np.ndarray:
+    ids = [CTC_CHAR_TO_ID[ch] for ch in word if ch in CTC_CHAR_TO_ID]
+    vec = np.zeros((len(ids), CTC_NUM_CLASSES), np.float32)
+    if ids:
+        vec[np.arange(len(ids)), ids] = 1.0
+    return vec
+
+
+def collate_real_wtl(batch, cfg: CollateConfig) -> Dict:
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    b = len(labels)
+    label_vecs = np.zeros((b, 1, cfg.prior_len, CTC_NUM_CLASSES), np.float32)
+    for i, word in enumerate(labels):
+        word = word.lower()
+        if len(word) > 4:
+            word = word[:2] + "e" + word[3:]  # reference quirk (dataset.py:1176-1179)
+        word = word[: cfg.prior_len]
+        rows = _onehot_rows(word)
+        label_vecs[i, 0, : rows.shape[0]] = rows
+    return {"hr": hr, "lr": lr, "labels": labels, "label_vecs": label_vecs}
+
+
+def collate_real_wtl_amask(batch, cfg: CollateConfig) -> Dict:
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    b = len(labels)
+    label_vecs = np.zeros((b, 1, cfg.prior_len, CTC_NUM_CLASSES), np.float32)
+    ctc_labels = np.zeros((b, cfg.max_label_len), np.int32)
+    ctc_lengths = np.zeros((b,), np.int32)
+    weighted_tics = np.zeros((b,), np.float32)
+    for i, word in enumerate(labels):
+        word = word.lower()[: cfg.max_label_len]
+        ids = [CTC_CHAR_TO_ID[ch] for ch in word if ch in CTC_CHAR_TO_ID]
+        if ids:
+            rows = _onehot_rows(word)
+            label_vecs[i, 0, : rows.shape[0]] = rows
+            ctc_labels[i, : len(ids)] = ids
+            ctc_lengths[i] = len(ids)
+            weighted_tics[i] = 1.0
+        else:
+            # blank-label fallback (dataset.py:1305-1310)
+            label_vecs[i, 0, 0, 0] = 1.0
+            weighted_tics[i] = 0.0
+    return {
+        "hr": hr,
+        "lr": lr,
+        "labels": labels,
+        "label_vecs": label_vecs,
+        "ctc_labels": ctc_labels,
+        "ctc_lengths": ctc_lengths,
+        "weighted_tics": weighted_tics,
+    }
+
+
+def collate_syn(batch, cfg: CollateConfig) -> Dict:
+    """Synthetic: HR = image; LR = bicubic /scale then transform."""
+    hrs, lrs, labels = [], [], []
+    for item in batch:
+        img, label = item[0], item[-1]
+        hrs.append(resize_normalize(img, (cfg.imgW, cfg.imgH), cfg.mask))
+        lr_img = pil_downsample(img, cfg.down_sample_scale)
+        lrs.append(
+            resize_normalize(
+                lr_img,
+                (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale),
+                cfg.mask,
+            )
+        )
+        labels.append(label)
+    return {"hr": np.stack(hrs), "lr": np.stack(lrs), "labels": labels}
+
+
+COLLATES = {
+    "real": collate_real,
+    "realWTL": collate_real_wtl,
+    "realWTLAMask": collate_real_wtl_amask,
+    "syn": collate_syn,
+}

