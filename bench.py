@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: TPGSR-TSRN flagship inference (student CRNN prior +
+TSRN_TL SR) — TextZoom geometry LR 16x64(+mask) -> HR 32x128, batch 48
+(the canonical train batch, train_TPGSR-TSRN.sh:1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: the TPU here sits behind a remote tunnel whose
+``block_until_ready`` returns before execution finishes and whose round-trip
+latency (~40 ms) dwarfs the ~5 ms kernel. So we time TWO jit programs that
+chain N1=1 and N2=17 forwards inside one ``lax.scan`` (with a scalar
+readback forcing real completion) and difference them:
+    t_forward = (t(N2) - t(N1)) / (N2 - N1)
+which cancels the round-trip and measures pure device throughput.
+
+Baseline: the reference publishes no fps (BASELINE.md; V100-era badges,
+README.md:13-16).  BASELINE_V100_IPS is a documented engineering estimate of
+the torch reference's V100 inference throughput for this model/batch
+(~1.2 GFLOP/img TSRN_TL trunk + CRNN prior, fp32, kernel-launch-bound GRU
+loops).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_V100_IPS = 600.0  # estimated reference (torch, V100) images/sec
+BATCH = 48
+N1, N2 = 1, 17
+REPS = 6
+
+
+def _chained(forward, n):
+    import jax
+    import jax.numpy as jnp
+
+    def f(sv, tv, x):
+        def body(c, _):
+            out = forward(sv, tv, x + c * 1e-12)  # dependency defeats CSE
+            return jnp.mean(out), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
+
+    return jax.jit(f)
+
+
+def _time_call(fn, args) -> float:
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        float(np.asarray(fn(*args)))  # scalar readback = real completion
+    return (time.perf_counter() - t0) / REPS
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship
+
+    forward, sr_vars, stu_vars, lr_img = _flagship(batch=BATCH)
+    lr = jax.device_put(np.random.default_rng(0).random(lr_img.shape).astype(np.float32))
+
+    f1 = _chained(forward, N1)
+    f2 = _chained(forward, N2)
+    args = (sr_vars, stu_vars, lr)
+    float(np.asarray(f1(*args)))  # compile + warm
+    float(np.asarray(f2(*args)))
+
+    t1 = _time_call(f1, args)
+    t2 = _time_call(f2, args)
+    per_forward = (t2 - t1) / (N2 - N1)
+    ips = BATCH / per_forward
+
+    print(
+        json.dumps(
+            {
+                "metric": "tpgsr_tsrn_inference_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / BASELINE_V100_IPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Recognizer zoo shape/behavior tests: ASTER, MORAN, OPT TPG."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpgsr_tpu.charset import AsterInfo
+
+
+@pytest.fixture(scope="module")
+def aster_info():
+    return AsterInfo("all")
+
+
+class TestAster:
+    @pytest.fixture(scope="class")
+    def built(self, aster_info=None):
+        from tpgsr_tpu.charset import AsterInfo
+        from tpgsr_tpu.models.aster import RecognizerBuilder
+
+        info = AsterInfo("all")
+        model = RecognizerBuilder(
+            rec_num_classes=info.rec_num_classes,
+            eos_id=info.char2id[info.EOS],
+            max_len_labels=20,  # short decode for test speed
+        )
+        x = np.random.default_rng(0).random((2, 32, 128, 3)).astype(np.float32) * 2 - 1
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return model, variables, x, info
+
+    def test_encoder_shape(self, built):
+        from tpgsr_tpu.models.aster import ResNetAster
+
+        enc = ResNetAster(with_lstm=True)
+        x = np.zeros((2, 32, 100, 3), np.float32)
+        v = enc.init(jax.random.PRNGKey(0), x, train=False)
+        feats = enc.apply(v, x, train=False)
+        assert feats.shape == (2, 25, 512)
+
+    def test_beam_search_output(self, built):
+        model, variables, x, info = built
+        out = model.apply(variables, x, train=False)
+        ids = out["output"]["pred_rec"]
+        assert ids.shape == (2, 20)
+        assert (np.asarray(ids) >= 0).all() and (np.asarray(ids) < info.rec_num_classes).all()
+
+    def test_greedy_matches_beam_start(self, built):
+        """Greedy and beam produce valid (decodable) sequences."""
+        from tpgsr_tpu.models.aster import decode_aster_ids
+
+        model, variables, x, info = built
+        ids, scores = model.apply(variables, x, train=False, method=model.sample)
+        assert ids.shape == (2, 20)
+        strs = decode_aster_ids(np.asarray(ids), info)
+        assert all(isinstance(s, str) for s in strs)
+
+    def test_teacher_forced_logits(self, built):
+        model, variables, x, info = built
+        targets = np.ones((2, 7), np.int32)
+        feats = model.apply(variables, x, train=False, method=model.rectify)
+        enc = model.apply(variables, feats, train=False,
+                          method=lambda m, v, train: m.encoder(v, train=train))
+        logits = model.apply(variables, enc, targets,
+                             method=lambda m, f, t: m.decoder(f, t))
+        assert logits.shape == (2, 7, info.rec_num_classes)
+
+
+class TestMoran:
+    @pytest.fixture(scope="class")
+    def built(self):
+        from tpgsr_tpu.models.moran import MORAN
+
+        model = MORAN()
+        x = np.random.default_rng(0).random((2, 32, 100, 1)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return model, variables, x
+
+    def test_output_shapes(self, built):
+        from tpgsr_tpu.models.moran import MORAN_MAX_ITER, MORAN_NCLASS
+
+        model, variables, x = built
+        l2r, r2l = model.apply(variables, x, train=False)
+        assert l2r.shape == (2, MORAN_MAX_ITER, MORAN_NCLASS)
+        assert r2l.shape == (2, MORAN_MAX_ITER, MORAN_NCLASS)
+
+    def test_decode(self, built):
+        from tpgsr_tpu.models.moran import decode_moran_ids
+
+        model, variables, x = built
+        l2r, _ = model.apply(variables, x, train=False)
+        strs = decode_moran_ids(np.asarray(l2r))
+        assert len(strs) == 2
+        assert all("$" not in s for s in strs)
+
+    def test_morn_rectifies(self, built):
+        from tpgsr_tpu.models.moran import MORN
+
+        m = MORN()
+        x = np.random.default_rng(1).random((2, 16, 64, 1)).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == (2, 32, 100, 1)
+
+
+class TestOptTPG:
+    def test_crnn_interface(self):
+        from tpgsr_tpu.models.opt_tpg import OPTModel
+
+        model = OPTModel(nclass=37)
+        x = np.random.default_rng(0).random((2, 32, 100, 1)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        logits = model.apply(v, x, train=False)
+        # FAN resnet on W=100: 100/2/2 -> (2,1) pool pad1 -> 26 -> conv4_1 pad1 -> 27 -> k2 -> 26
+        assert logits.shape[1] == 2 and logits.shape[2] == 37
+        assert logits.shape[0] == 26

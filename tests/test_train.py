@@ -1,0 +1,185 @@
+"""Train-step / state / checkpoint / parallel tests (CPU, 8 virtual devices)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tpgsr_tpu.charset import CTC_NUM_CLASSES
+from tpgsr_tpu.config import default_args, load_config
+from tpgsr_tpu.models.crnn import CRNN
+from tpgsr_tpu.models.registry import ARCHS
+from tpgsr_tpu.models.tsrn import TSRN, TSRN_TL
+from tpgsr_tpu.parallel import data_mesh, shard_batch, shard_params
+from tpgsr_tpu.train import checkpoint as ckpt
+from tpgsr_tpu.train.state import create_train_state
+from tpgsr_tpu.train.step import make_eval_step, make_train_step
+
+B, H, W = 8, 16, 32  # tiny LR geometry (HR 32x64)
+
+
+def _tiny_setup(arch="tsrn_tl_cascade", stu_iter=2, sr_share=False, tpg_share=True,
+                **arg_over):
+    args = default_args(
+        arch=arch, STN=False, mask=True, use_distill=True, use_label=True,
+        gradient=True, stu_iter=stu_iter, sr_share=sr_share, tpg_share=tpg_share,
+        srb=2, hd_u=8, **arg_over,
+    )
+    config = load_config()
+    config.TRAIN.width, config.TRAIN.height = W * 2, H * 2
+    config.TRAIN.batch_size = B
+    sr_model = TSRN_TL(scale_factor=2, width=W * 2, height=H * 2, stn=False,
+                       mask=True, srb_nums=2, hidden_units=8)
+    stu_model = CRNN(nclass=CTC_NUM_CLASSES)
+    lr_img = np.zeros((B, H, W, 4), np.float32)
+    prior = np.zeros((B, 1, 26, CTC_NUM_CLASSES), np.float32)
+    n_sr = 1 if sr_share else stu_iter
+    n_stu = 1 if tpg_share else stu_iter
+    state = create_train_state(
+        jax.random.PRNGKey(0), sr_model, (lr_img, prior), n_sr=n_sr,
+        stu_model=stu_model,
+        stu_example_inputs=(np.zeros((B, 32, W * 2, 1), np.float32),),
+        n_stu=n_stu,
+        teacher_variables=stu_model.init(
+            jax.random.PRNGKey(1), np.zeros((B, 32, W * 2, 1), np.float32), train=False
+        ),
+    )
+    return args, config, sr_model, stu_model, state
+
+
+def _batch(rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return {
+        "hr": rng.random((B, H * 2, W * 2, 4)).astype(np.float32),
+        "lr": rng.random((B, H, W, 4)).astype(np.float32),
+        "ctc_labels": np.tile(np.array([[1, 2, 3] + [0] * 12], np.int32), (B, 1)),
+        "ctc_lengths": np.full((B,), 3, np.int32),
+        "weighted_tics": np.ones((B,), np.float32),
+    }
+
+
+def test_cascade_train_step_decreases_loss():
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    batch = _batch()
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(np.asarray(metrics["loss_total"])))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_cascade_step_count_and_stats_update():
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    s0 = jax.tree_util.tree_leaves(state.sr_stats)[0].copy()
+    state2, _ = step(state, _batch())
+    assert int(np.asarray(state2.step)) == 1
+    s1 = jax.tree_util.tree_leaves(state2.sr_stats)[0]
+    assert not np.allclose(np.asarray(s0), np.asarray(s1))  # BN stats moved
+
+
+def test_teacher_params_frozen():
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    t0 = jax.tree_util.tree_leaves(state.teacher_params)[0].copy()
+    state2, _ = step(state, _batch())
+    t1 = jax.tree_util.tree_leaves(state2.teacher_params)[0]
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # but student params must move
+    p0 = jax.tree_util.tree_leaves(state.stu_params)[0]
+    p1 = jax.tree_util.tree_leaves(state2.stu_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_plain_arch_train_step():
+    args = default_args(arch="tsrn", STN=False, mask=True, gradient=True, srb=2, hd_u=8)
+    config = load_config()
+    config.TRAIN.width, config.TRAIN.height = W * 2, H * 2
+    model = TSRN(scale_factor=2, width=W * 2, height=H * 2, stn=False, mask=True,
+                 srb_nums=2, hidden_units=8)
+    lr_img = np.zeros((B, H, W, 4), np.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, (lr_img,), n_sr=1)
+    spec = ARCHS["tsrn"]
+    step = make_train_step("tsrn", spec, model, None, args, config, donate=False)
+    state, metrics = step(state, _batch())
+    assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+    assert float(np.asarray(metrics["loss_distill"])) == 0.0
+
+
+def test_eval_step_outputs():
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    estep = make_eval_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config)
+    sr, outs = estep(state, _batch())
+    assert sr.shape == (B, H * 2, W * 2, 4)
+    assert np.isfinite(float(np.asarray(outs["psnr"])))
+    assert 0.0 <= float(np.asarray(outs["ssim"])) <= 1.0
+    assert outs["logits_sr"].shape[1] == B
+    assert "logits_stage0" in outs  # 2-stage cascade exposes stage counters
+
+
+def test_data_parallel_step_matches_single_device():
+    """The sharded step must produce the same loss as unsharded."""
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    batch = _batch()
+    _, m_single = step(state, batch)
+
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    state_sh = shard_params(mesh, state)
+    batch_sh = shard_batch(mesh, batch)
+    _, m_sharded = step(state_sh, batch_sh)
+    np.testing.assert_allclose(
+        float(np.asarray(m_single["loss_total"])),
+        float(np.asarray(m_sharded["loss_total"])),
+        rtol=2e-4,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    state, _ = step(state, _batch())
+    d = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(d, jax.device_get(state), {"arch": "tsrn_tl_cascade"}, is_best=True)
+    assert os.path.exists(os.path.join(d, "model_best_0.msgpack"))
+    assert os.path.exists(os.path.join(d, "recognizer_best_0.msgpack"))
+    assert os.path.exists(os.path.join(d, "info.json"))
+
+    _, _, _, _, fresh = _tiny_setup()
+    restored = ckpt.restore_checkpoint(d, fresh)
+    a = jax.tree_util.tree_leaves(state.sr_params)[0]
+    b = jax.tree_util.tree_leaves(restored.sr_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # opt state restored too
+    oa = jax.tree_util.tree_leaves(state.opt_state)[0]
+    ob = jax.tree_util.tree_leaves(restored.opt_state)[0]
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob))
+
+
+def test_graft_entry_smoke():
+    import __graft_entry__ as ge
+
+    fn, ex = ge.entry()
+    out = jax.jit(fn)(*ex)
+    assert out.shape == (8, 32, 128, 4)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,72 @@
+"""End-to-end smoke: TextSR.train() on a synthetic TextZoom LMDB.
+
+Exercises config -> data pipeline -> jit train step -> eval -> checkpoint,
+mirroring the reference's sanctioned flow (main.py -> TextSR.train ->
+eval/save), on tiny shapes and the CPU mesh.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_textzoom_lmdb
+from tpgsr_tpu.config import default_args, load_config
+from tpgsr_tpu.train.trainer import TextSR
+
+
+@pytest.fixture(scope="module")
+def lmdb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tz")
+    return make_textzoom_lmdb(str(d / "train"), n=16)
+
+
+def test_textsr_train_eval_checkpoint(lmdb_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.VAL.valInterval = 4
+    t.saveInterval = 4
+    t.displayInterval = 2
+    t.batch_size = 8
+    t.epochs = 3  # 2 iters/epoch -> 6 iters: crosses the 5-iter loss log
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(
+        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True,
+        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
+        srb=2, hd_u=8, batch_size=8, vis_dir="smoke",
+    )
+    mission = TextSR(config, args)
+    mission.train()
+
+    ckpt_dir = os.path.join(str(tmp_path / "ckpt"), "smoke")
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_0.msgpack"))
+    assert os.path.exists(os.path.join(ckpt_dir, "recognizer_0.msgpack"))
+    info = json.load(open(os.path.join(ckpt_dir, "info.json")))
+    assert info["arch"] == "tsrn_tl_cascade"
+    # scalar log written
+    log = os.path.join("tensorboard", "smoke", "scalars.jsonl")
+    assert os.path.exists(log)
+    tags = {json.loads(l)["tag"] for l in open(log)}
+    assert {"loss/total", "loss/SR", "loss/distill"} <= tags
+    assert any(tag.startswith("eval/accuracy") for tag in tags)
+
+
+def test_textsr_go_test(lmdb_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.epochs = 1
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(
+        arch="tsrn", STN=False, mask=True, gradient=True,
+        srb=2, hd_u=8, batch_size=8, vis_dir="gotest", go_test=True,
+    )
+    mission = TextSR(config, args)
+    mission.train()  # go_test: single eval pass, no training

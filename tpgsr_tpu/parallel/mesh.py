@@ -1,0 +1,82 @@
+"""Mesh construction and sharding helpers.
+
+The models here are small (TSRN_TL + InfoGen ~= 3-4 M params,
+SURVEY.md §2.9), so the right parallelism is pure data parallelism:
+
+* 1-D ``Mesh(devices, ('data',))`` over all chips — collectives ride ICI.
+* Params/opt-state replicated (``NamedSharding(mesh, P())``).
+* Batches sharded on axis 0 (``P('data')``); ``jit``'s in_shardings +
+  XLA's SPMD partitioner insert the gradient ``psum`` automatically.
+
+No hand-written collectives: the train step is an ordinary jitted function
+whose gradient all-reduce XLA derives from the shardings (scaling-book
+recipe: pick a mesh, annotate shardings, let XLA insert collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over ``n_devices`` (0 = all visible)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices and n_devices > 0:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) across the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, opt state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put a collated batch dict; arrays go batch-sharded, non-array
+    entries (label string lists) stay on host."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+def shard_params(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a parameter/opt-state pytree onto every device in the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_to_multiple(batch: Dict[str, Any], multiple: int) -> Dict[str, Any]:
+    """Pad a batch's arrays along axis 0 to a multiple of the mesh size so the
+    batch divides evenly across devices; records the true count in '_valid'."""
+    sizes = [v.shape[0] for v in batch.values() if isinstance(v, np.ndarray)]
+    if not sizes:
+        return batch
+    n = sizes[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        out = dict(batch)
+        out.setdefault("_valid", n)
+        return out
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            reps = np.repeat(v[-1:], target - n, axis=0)
+            out[k] = np.concatenate([v, reps], axis=0)
+        else:
+            out[k] = v
+    out["_valid"] = n
+    return out

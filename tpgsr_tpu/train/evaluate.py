@@ -1,0 +1,85 @@
+"""Validation loop: PSNR/SSIM + word-accuracy over a val loader.
+
+Parity target: TextSR.eval (interfaces/super_resolution.py:540-1347) —
+cascade inference without grads, eval recognizer on LR/HR and each stage's
+SR, exact-match accuracy after ``str_filt(·,'lower')``, running PSNR/SSIM
+averages, metric_dict {accuracy (last stage), psnr_avg, ssim_avg, ...}.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from tpgsr_tpu.charset import str_filt
+from tpgsr_tpu.ops.ctc import ctc_ids_to_strings
+
+
+def _decode_crnn(logits_tbc: np.ndarray) -> List[str]:
+    ids = np.argmax(np.asarray(logits_tbc), axis=-1)
+    return ctc_ids_to_strings(ids)
+
+
+def evaluate(
+    eval_step: Callable,
+    state,
+    val_loader,
+    decoder: Callable = _decode_crnn,
+    max_batches: int = 0,
+) -> Dict[str, float]:
+    """Run the jitted ``eval_step`` over a loader and aggregate metrics."""
+    n_correct = 0
+    n_correct_lr = 0
+    n_correct_hr = 0
+    stage_correct: Dict[int, int] = {}
+    sum_psnr = 0.0
+    sum_ssim = 0.0
+    n_images = 0
+    n_batches = 0
+
+    for bi, batch in enumerate(val_loader):
+        if max_batches and bi >= max_batches:
+            break
+        labels = batch["labels"]
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        _, outs = eval_step(state, arrays)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        b = len(labels)
+        sum_psnr += float(outs["psnr"]) * b
+        sum_ssim += float(outs["ssim"]) * b
+        n_images += b
+        n_batches += 1
+
+        if "logits_sr" in outs:
+            preds_sr = decoder(outs["logits_sr"])
+            preds_lr = decoder(outs["logits_lr"])
+            preds_hr = decoder(outs["logits_hr"])
+            stage_preds = {
+                i: decoder(outs[f"logits_stage{i}"])
+                for i in range(64)
+                if f"logits_stage{i}" in outs
+            }
+            for j, gt in enumerate(labels):
+                gt_f = str_filt(gt, "lower")
+                if str_filt(preds_sr[j], "lower") == gt_f:
+                    n_correct += 1
+                if str_filt(preds_lr[j], "lower") == gt_f:
+                    n_correct_lr += 1
+                if str_filt(preds_hr[j], "lower") == gt_f:
+                    n_correct_hr += 1
+                for i, ps in stage_preds.items():
+                    if str_filt(ps[j], "lower") == gt_f:
+                        stage_correct[i] = stage_correct.get(i, 0) + 1
+
+    metrics = {
+        "accuracy": n_correct / max(n_images, 1),
+        "accuracy_lr": n_correct_lr / max(n_images, 1),
+        "accuracy_hr": n_correct_hr / max(n_images, 1),
+        "psnr_avg": sum_psnr / max(n_images, 1),
+        "ssim_avg": sum_ssim / max(n_images, 1),
+        "images": n_images,
+    }
+    for i, c in stage_correct.items():
+        metrics[f"accuracy_stage{i}"] = c / max(n_images, 1)
+    return metrics

@@ -1,0 +1,262 @@
+"""The jit-compiled train/eval steps — the heart of the framework.
+
+One XLA program per step: teacher TPG forward (frozen), ``stu_iter``-stage
+cascade of (student TPG -> prior -> SR backbone), all losses, grads for
+SR + student jointly, per-SR-model 0.25 global-norm clip, Adam update.
+
+Parity target: interfaces/super_resolution.py:192-424 (train loop body) —
+with these TPU-first deviations:
+  * everything (incl. the recognizer 32x100 resize, which torch did with
+    cuDNN `interpolate`) is inside one jit; resizes are matmul-based.
+  * cascade stages are a Python loop at trace time (stu_iter <= 3): XLA sees
+    a straight-line graph and fuses across stages; `jax.checkpoint` remats
+    each SR stage to bound the un-detached-cascade autodiff memory
+    (SURVEY.md §7 "cascade autodiff memory").
+  * batch-parallelism comes from sharded batch inputs (see
+    tpgsr_tpu.parallel), not DataParallel replicas.
+
+Semantics mirrored exactly: loss x100 scalings, prior dropout of the first
+B//4 samples, student TP fed from the previous stage's SR output while the
+SR image input is always images_lr (super_resolution.py:301-384), gradients
+flowing through the whole cascade (no detach), CTC loss masked by
+weighted_tics, distill loss vs the HR teacher prior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpgsr_tpu import losses as L
+from tpgsr_tpu.models.registry import ABLATION_SET, TL_SIMPLE, ArchSpec
+from tpgsr_tpu.ops.ctc import ctc_loss
+from tpgsr_tpu.ops.image import calculate_psnr, ssim
+from tpgsr_tpu.train.priors import (
+    logits_to_prior,
+    parse_crnn_data,
+    prior_dropout_first_quarter,
+)
+from tpgsr_tpu.train.state import TrainState, clip_sr_grads, make_optimizer
+
+
+def _image_crit(kind: str, gradient: bool) -> Callable:
+    if kind == "image":
+        return lambda sr, hr: L.image_loss(sr, hr, gradient=gradient)
+    if kind == "mse":
+        return L.mse_loss
+    if kind == "l1":
+        return L.l1_loss
+    if kind == "charbonnier":
+        return L.charbonnier_loss
+    raise ValueError(kind)
+
+
+def _apply(model, params, stats, args_, train: bool):
+    """Run a flax module, returning (out, new_stats)."""
+    variables = {"params": params, "batch_stats": stats}
+    if train:
+        out, mut = model.apply(variables, *args_, train=True, mutable=["batch_stats"])
+        return out, mut.get("batch_stats", stats)
+    out = model.apply(variables, *args_, train=False)
+    return out, stats
+
+
+def _crnn_width(cfg_width: int) -> int:
+    # interfaces/base.py:808 — 100 when TRAIN.width is 128, else TRAIN.width
+    return 100 if cfg_width == 128 else cfg_width
+
+
+def make_train_step(
+    arch: str,
+    spec: ArchSpec,
+    sr_model,
+    stu_model,
+    args,
+    config,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    ``batch`` is a dict of device arrays: hr, lr [B,H,W,C] NHWC in [0,1],
+    plus ctc_labels/ctc_lengths/weighted_tics for the cascade path.
+    """
+    t = config.TRAIN
+    crit = _image_crit(spec.crit, bool(args.get("gradient", False)))
+    stu_iter = int(args.get("stu_iter", 1))
+    sr_share = bool(args.get("sr_share", False))
+    tpg_share = bool(args.get("tpg_share", False))
+    use_label = bool(args.get("use_label", False))
+    use_distill = bool(args.get("use_distill", False))
+    use_ssim = bool(args.get("ssim_loss", False))
+    in_ch = spec.in_channels
+    cw = _crnn_width(int(t.get("width", 128)))
+    tx = make_optimizer(float(t.get("lr", 1e-3)), float(t.get("beta1", 0.5)))
+
+    is_cascade = arch in ABLATION_SET
+    is_tl_simple = arch in TL_SIMPLE
+
+    def loss_fn(trainable, state: TrainState, batch) -> Tuple[jax.Array, Dict]:
+        sr_params, stu_params = trainable["sr"], trainable["stu"]
+        sr_stats = list(state.sr_stats)
+        stu_stats = list(state.stu_stats)
+        hr, lr = batch["hr"], batch["lr"]
+        metrics: Dict[str, jax.Array] = {}
+
+        if is_cascade or is_tl_simple:
+            # frozen teacher prior from HR (super_resolution.py:297-299)
+            teach_logits, _ = _apply(
+                stu_model, state.teacher_params, state.teacher_stats,
+                (parse_crnn_data(hr, cw),), train=False,
+            )
+            label_vecs_hr = jax.nn.softmax(jax.lax.stop_gradient(teach_logits), -1)
+
+            loss_img = 0.0
+            loss_recog = 0.0
+            cascade_images = lr
+            n_stage = stu_iter if is_cascade else 1
+            for i in range(n_stage):
+                tp = 0 if tpg_share else i
+                stu_in = parse_crnn_data(cascade_images, cw)
+                stu_logits, stu_stats[tp] = _apply(
+                    stu_model, stu_params[tp], stu_stats[tp], (stu_in,), train=True
+                )
+                label_vecs = jax.nn.softmax(stu_logits, -1)
+
+                if is_cascade and use_label:
+                    per = ctc_loss(stu_logits, batch["ctc_labels"], batch["ctc_lengths"])
+                    loss_recog = loss_recog + jnp.mean(per * batch["weighted_tics"])
+                if (is_cascade and use_distill) or is_tl_simple:
+                    loss_recog = loss_recog + L.semantic_loss(label_vecs, label_vecs_hr) * 100.0
+
+                prior = logits_to_prior(stu_logits)
+                if is_cascade:
+                    prior = prior_dropout_first_quarter(prior)
+
+                pick = 0 if sr_share else i
+                sr_apply = functools.partial(_apply, sr_model)
+                if is_cascade and n_stage > 1:
+                    # remat each SR stage: cascade grads flow end-to-end
+                    sr_apply = jax.checkpoint(sr_apply, static_argnums=(3,))
+                sr_out, sr_stats[pick] = sr_apply(
+                    sr_params[pick], sr_stats[pick], (lr, prior), True
+                )
+                loss_img_each = crit(sr_out, hr) * 100.0
+                loss_img = loss_img + loss_img_each
+                if use_ssim:
+                    loss_img = loss_img + (1.0 - ssim(sr_out, hr)) * 10.0
+                cascade_images = sr_out
+                metrics[f"loss_img_{i}"] = loss_img_each
+
+            loss = loss_img + loss_recog
+            metrics["loss_img"] = jnp.asarray(loss_img)
+            metrics["loss_distill"] = jnp.asarray(loss_recog)
+        else:
+            sr_out, sr_stats[0] = _apply(
+                sr_model, sr_params[0], sr_stats[0], (lr[..., :in_ch],), train=True
+            )
+            loss = crit(sr_out, hr[..., :in_ch]) * 100.0
+            metrics["loss_img"] = loss
+            metrics["loss_distill"] = jnp.zeros(())
+
+        metrics["loss_total"] = loss
+        return loss, (metrics, tuple(sr_stats), tuple(stu_stats))
+
+    def train_step(state: TrainState, batch):
+        (loss, (metrics, sr_stats, stu_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable, state, batch)
+        grads = clip_sr_grads(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        new = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.trainable, updates
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                sr_params=tuple(new["sr"]),
+                stu_params=tuple(new["stu"]),
+                sr_stats=sr_stats,
+                stu_stats=stu_stats,
+                opt_state=opt_state,
+            ),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    arch: str,
+    spec: ArchSpec,
+    sr_model,
+    stu_model,
+    args,
+    config,
+    with_recognizer: bool = True,
+):
+    """Jitted eval step: cascade inference in eval mode + metrics.
+
+    Returns (sr_images, outs) where outs holds per-batch PSNR/SSIM sums and
+    (optionally) CRNN logits on SR/LR/HR for host-side decode+accuracy —
+    mirroring TextSR.eval (super_resolution.py:540-1347).
+    """
+    t = config.TRAIN
+    stu_iter = int(args.get("stu_iter", 1))
+    sr_share = bool(args.get("sr_share", False))
+    tpg_share = bool(args.get("tpg_share", False))
+    in_ch = spec.in_channels
+    cw = _crnn_width(int(t.get("width", 128)))
+    is_tl = arch in ABLATION_SET or arch in TL_SIMPLE
+
+    def eval_step(state: TrainState, batch):
+        hr, lr = batch["hr"], batch["lr"]
+        outs: Dict[str, Any] = {}
+        sr_list = []
+        if is_tl:
+            cascade_images = lr
+            n_stage = stu_iter if arch in ABLATION_SET else 1
+            for i in range(n_stage):
+                tp = 0 if tpg_share else i
+                stu_logits, _ = _apply(
+                    stu_model, state.stu_params[tp], state.stu_stats[tp],
+                    (parse_crnn_data(cascade_images, cw),), train=False,
+                )
+                prior = logits_to_prior(stu_logits)
+                pick = 0 if sr_share else i
+                sr_out, _ = _apply(
+                    sr_model, state.sr_params[pick], state.sr_stats[pick],
+                    (lr, prior), train=False,
+                )
+                cascade_images = sr_out
+                sr_list.append(sr_out)
+        else:
+            sr_out, _ = _apply(
+                sr_model, state.sr_params[0], state.sr_stats[0],
+                (lr[..., :in_ch],), train=False,
+            )
+            sr_list.append(sr_out)
+
+        sr = sr_list[-1]
+        outs["psnr"] = calculate_psnr(sr[..., :3], hr[..., :3])
+        outs["ssim"] = ssim(sr[..., :3], hr[..., :3])
+        if with_recognizer and state.teacher_params is not None:
+            # CRNN eval recognizer == the pretrained CRNN (test_bible['CRNN'])
+            for name, img in (("sr", sr), ("lr", lr), ("hr", hr)):
+                logits, _ = _apply(
+                    stu_model, state.teacher_params, state.teacher_stats,
+                    (parse_crnn_data(img, cw),), train=False,
+                )
+                outs[f"logits_{name}"] = logits
+            # per-stage logits for cascade counters (super_resolution.py:1127)
+            for i, s in enumerate(sr_list[:-1]):
+                logits, _ = _apply(
+                    stu_model, state.teacher_params, state.teacher_stats,
+                    (parse_crnn_data(s, cw),), train=False,
+                )
+                outs[f"logits_stage{i}"] = logits
+        return sr, outs
+
+    return jax.jit(eval_step)

@@ -1,0 +1,302 @@
+"""Top-level orchestration: the ``TextSR`` equivalent.
+
+Parity target: interfaces/super_resolution.py:49-1523 + interfaces/base.py —
+train loop with cascade/distill, periodic eval over the three TextZoom val
+splits, best-checkpoint selection on summed accuracy, TensorBoard scalars,
+``--go_test`` (eval-only), ``--test`` (standalone benchmark) and ``--demo``
+(folder inference) paths.
+
+TPU-native design: the per-iteration work is ONE jitted step (no Python in
+the hot loop beyond the input pipeline); batches are sharded over the data
+mesh; params live replicated on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tpgsr_tpu.charset import CTC_NUM_CLASSES
+from tpgsr_tpu.config import AttrDict, apply_arg_overrides, registry_dicts
+from tpgsr_tpu.data.collate import COLLATES, CollateConfig
+from tpgsr_tpu.data.datasets import ConcatDataset, TextZoomDataset
+from tpgsr_tpu.data.loader import DataLoader
+from tpgsr_tpu.models.crnn import CRNN
+from tpgsr_tpu.models.registry import ABLATION_SET, TL_SIMPLE, ARCHS, build_model
+from tpgsr_tpu.parallel import data_mesh, shard_batch, shard_params
+from tpgsr_tpu.train import checkpoint as ckpt
+from tpgsr_tpu.train.evaluate import evaluate
+from tpgsr_tpu.train.logging import ScalarLogger
+from tpgsr_tpu.train.state import TrainState, create_train_state
+from tpgsr_tpu.train.step import make_eval_step, make_train_step
+
+
+def _collate_kind(arch: str, train: bool) -> str:
+    # dataset/collate dispatch (interfaces/base.py:51-214)
+    if arch in ABLATION_SET or arch in TL_SIMPLE:
+        return "realWTLAMask" if train else "realWTL"
+    return "real"
+
+
+class TextSR:
+    """config + args -> .train() / .test() / .demo() (main.py:10-18)."""
+
+    def __init__(self, config: AttrDict, args: AttrDict, opt_TPG: Optional[AttrDict] = None):
+        self.config = apply_arg_overrides(config, args)
+        self.args = args
+        self.opt_TPG = opt_TPG
+        self.scale_factor = int(self.config.TRAIN.down_sample_scale)
+        self.vis_dir = args.get("vis_dir") or args["arch"]
+        self.ckpt_dir = os.path.join(self.config.TRAIN.ckpt_dir, self.vis_dir)
+
+        self.arch = args["arch"]
+        self.spec = ARCHS[self.arch]
+        a, cfg = registry_dicts(self.config, args)
+        self.sr_model, _ = build_model(self.arch, a, cfg)
+
+        # TP generator dict {CRNN, OPT} (super_resolution.py:77-80); both
+        # share the [B,32,W,1] -> [T,B,C] interface
+        if args.get("tpg") == "OPT":
+            from tpgsr_tpu.models.opt_tpg import OPTModel
+
+            n = opt_TPG["num_class"] if opt_TPG else CTC_NUM_CLASSES
+            self.stu_model = OPTModel(nclass=n)
+        else:
+            self.stu_model = CRNN(nclass=CTC_NUM_CLASSES)
+
+        self.mesh = data_mesh(int(self.config.TRAIN.get("n_devices", 0) or 0))
+        self.stu_iter = int(args.get("stu_iter", 1))
+        self.n_sr = 1 if args.get("sr_share") else self.stu_iter
+        self.is_tl = self.arch in ABLATION_SET or self.arch in TL_SIMPLE
+        self.n_stu = (1 if args.get("tpg_share") else self.stu_iter) if self.is_tl else 0
+
+        self._state: Optional[TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ data
+    def _collate(self, train: bool):
+        t = self.config.TRAIN
+        cfg = CollateConfig(
+            imgH=int(t.height), imgW=int(t.width),
+            down_sample_scale=self.scale_factor,
+            mask=bool(self.args.get("mask", False)),
+            train=train,
+        )
+        fn = COLLATES[_collate_kind(self.arch, train)]
+        return functools.partial(fn, cfg=cfg)
+
+    def get_train_data(self) -> DataLoader:
+        t = self.config.TRAIN
+        dirs = t.train_data_dir
+        sets = [TextZoomDataset(d, voc_type=t.voc_type, max_len=t.max_len) for d in dirs]
+        ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
+        return DataLoader(
+            ds, int(t.batch_size), self._collate(train=True),
+            shuffle=True, drop_last=True, seed=int(t.get("manualSeed", 1234)),
+        )
+
+    def get_val_data(self) -> List[DataLoader]:
+        t = self.config.TRAIN
+        loaders = []
+        for d in t.VAL.val_data_dir:
+            ds = TextZoomDataset(d, voc_type=t.voc_type, max_len=t.max_len, test=True)
+            loaders.append(
+                DataLoader(ds, int(t.batch_size), self._collate(train=False),
+                           shuffle=False, drop_last=False)
+            )
+        return loaders
+
+    # ----------------------------------------------------------------- state
+    def _teacher_variables(self):
+        """Load the pretrained CRNN teacher (interfaces/base.py:634-660)."""
+        path = self.config.TRAIN.VAL.get("crnn_pretrained", "")
+        if path and os.path.exists(path):
+            from tpgsr_tpu.interop.torch_import import import_crnn, load_torch_state_dict
+
+            return import_crnn(load_torch_state_dict(path))
+        # no checkpoint available: random teacher (framework still runs)
+        rng = jax.random.PRNGKey(0)
+        x = np.zeros((1, 32, 100, 1), np.float32)
+        return self.stu_model.init(rng, x, train=False)
+
+    def init_state(self, batch_size: Optional[int] = None) -> TrainState:
+        t = self.config.TRAIN
+        b = batch_size or int(t.batch_size)
+        h, w = int(t.height) // self.scale_factor, int(t.width) // self.scale_factor
+        c = 4 if self.args.get("mask") else 3
+        lr_img = np.zeros((b, h, w, c), np.float32)
+        prior = np.zeros((b, 1, 26, CTC_NUM_CLASSES), np.float32)
+        sr_inputs = (lr_img, prior) if self.spec.uses_prior else (lr_img[..., : self.spec.in_channels],)
+        teacher = self._teacher_variables() if self.is_tl else None
+        state = create_train_state(
+            jax.random.PRNGKey(int(t.get("manualSeed", 1234))),
+            self.sr_model, sr_inputs, n_sr=self.n_sr if self.is_tl else 1,
+            stu_model=self.stu_model,
+            stu_example_inputs=(np.zeros((b, 32, 100, 1), np.float32),),
+            n_stu=self.n_stu,
+            teacher_variables=teacher,
+            lr=float(t.lr), beta1=float(t.beta1),
+        )
+        resume = self.args.get("resume") or t.get("resume")
+        if resume:
+            state = ckpt.restore_checkpoint(resume, state)
+        self._state = shard_params(self.mesh, state)
+        return self._state
+
+    def _build_steps(self):
+        self._train_step = make_train_step(
+            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
+        )
+        self._eval_step = make_eval_step(
+            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
+        )
+
+    # ----------------------------------------------------------------- train
+    def train(self):
+        t = self.config.TRAIN
+        train_loader = self.get_train_data()
+        val_loaders = self.get_val_data()
+        state = self._state or self.init_state()
+        self._build_steps()
+        logger = ScalarLogger(os.path.join("tensorboard", self.vis_dir))
+
+        if self.args.get("go_test"):
+            self._run_val(state, val_loaders, logger, iters=0)
+            return
+
+        best_history_acc = {os.path.basename(str(d)): 0.0 for d in t.VAL.val_data_dir}
+        best_sum = 0.0
+        converge_list = []
+        display = int(t.displayInterval)
+        val_int = int(t.VAL.valInterval)
+        save_int = int(t.saveInterval)
+        times = []
+
+        for epoch in range(int(t.epochs)):
+            for j, batch in enumerate(train_loader):
+                iters = len(train_loader) * epoch + j + 1
+                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+                arrays = shard_batch(self.mesh, arrays)
+                t0 = time.time()
+                state, metrics = self._train_step(state, arrays)
+                if iters % 5 == 0:
+                    m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    logger.add_scalar("loss/total", m["loss_total"], iters)
+                    logger.add_scalar("loss/SR", m["loss_img"], iters)
+                    logger.add_scalar("loss/distill", m["loss_distill"], iters)
+                times.append(time.time() - t0)
+                if iters % display == 0:
+                    m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    ips = int(t.batch_size) / (sum(times[-display:]) / min(len(times), display))
+                    print(
+                        f"[epoch {epoch} iter {iters}] loss_total={m['loss_total']:.4f} "
+                        f"loss_img={m['loss_img']:.4f} loss_distill={m['loss_distill']:.4f} "
+                        f"{ips:.1f} img/s"
+                    )
+                if iters % val_int == 0:
+                    accs = self._run_val(state, val_loaders, logger, iters)
+                    converge_list.append({"iters": iters, **accs})
+                    acc_sum = sum(accs.values())
+                    is_best = acc_sum > best_sum
+                    if is_best:
+                        best_sum = acc_sum
+                        for k, v in accs.items():
+                            best_history_acc[k] = max(best_history_acc.get(k, 0.0), v)
+                    ckpt.save_checkpoint(
+                        self.ckpt_dir, jax.device_get(state),
+                        self._info(iters, epoch, best_history_acc), is_best, converge_list,
+                    )
+                if iters % save_int == 0:
+                    ckpt.save_checkpoint(
+                        self.ckpt_dir, jax.device_get(state),
+                        self._info(iters, epoch, best_history_acc), False, converge_list,
+                    )
+        logger.close()
+        return state
+
+    def _info(self, iters, epoch, best_history_acc) -> Dict:
+        t = self.config.TRAIN
+        return {
+            "arch": self.arch, "iters": iters, "epochs": epoch,
+            "batch_size": int(t.batch_size), "voc_type": t.voc_type,
+            "up_scale_factor": self.scale_factor,
+            "best_history_res": best_history_acc,
+        }
+
+    def _run_val(self, state, val_loaders, logger, iters) -> Dict[str, float]:
+        t = self.config.TRAIN
+        accs = {}
+        for d, loader in zip(t.VAL.val_data_dir, val_loaders):
+            name = os.path.basename(str(d).rstrip("/"))
+            md = evaluate(self._eval_step, state, loader)
+            print(
+                f"  [val {name}] acc={md['accuracy']:.4f} (lr={md['accuracy_lr']:.4f} "
+                f"hr={md['accuracy_hr']:.4f}) psnr={md['psnr_avg']:.2f} ssim={md['ssim_avg']:.4f}"
+            )
+            for k in ("psnr_avg", "ssim_avg", "accuracy"):
+                logger.add_scalar(f"eval/{k}_{name}", md[k], iters)
+            accs[name] = md["accuracy"]
+        return accs
+
+    # ------------------------------------------------------------------ test
+    def test(self):
+        """Standalone benchmark over TEST.test_data_dir (--test).
+
+        NOTE: the reference's test() feeds images_HR to the model
+        (super_resolution.py:1381, a latent bug); we feed LR — the sanctioned
+        --go_test path is unaffected either way (SURVEY.md §7 quirks).
+        """
+        t = self.config.TRAIN
+        d = self.config.TEST.test_data_dir
+        ds = TextZoomDataset(d, voc_type=t.voc_type, max_len=t.max_len, test=True)
+        loader = DataLoader(ds, int(t.batch_size), self._collate(train=False),
+                            shuffle=False, drop_last=False)
+        state = self._state or self.init_state()
+        self._build_steps()
+        t0 = time.time()
+        md = evaluate(self._eval_step, state, loader)
+        md["fps"] = md["images"] / (time.time() - t0)
+        print({k: round(v, 4) if isinstance(v, float) else v for k, v in md.items()})
+        return md
+
+    # ------------------------------------------------------------------ demo
+    def demo(self):
+        """Folder inference (--demo): SR each image, print LR vs SR preds."""
+        from PIL import Image
+
+        from tpgsr_tpu.data.transforms import resize_normalize
+        from tpgsr_tpu.ops.ctc import ctc_ids_to_strings
+
+        t = self.config.TRAIN
+        state = self._state or self.init_state(batch_size=1)
+        self._build_steps()
+        files = sorted(os.listdir(self.args["demo_dir"]))
+        n = 0
+        t0 = time.time()
+        for fn in files:
+            path = os.path.join(self.args["demo_dir"], fn)
+            try:
+                img = Image.open(path)
+            except Exception:
+                continue
+            lr = resize_normalize(
+                img, (int(t.width) // self.scale_factor, int(t.height) // self.scale_factor),
+                bool(self.args.get("mask")),
+            )[None]
+            batch = {"hr": np.repeat(lr, 1, 0), "lr": lr}
+            # hr is unused for inference; pass lr-shaped dummy at HR size
+            batch["hr"] = np.zeros((1, int(t.height), int(t.width), lr.shape[-1]), np.float32)
+            sr, outs = self._eval_step(state, batch)
+            if "logits_sr" in outs:
+                pred_sr = ctc_ids_to_strings(np.argmax(np.asarray(outs["logits_sr"]), -1))[0]
+                pred_lr = ctc_ids_to_strings(np.argmax(np.asarray(outs["logits_lr"]), -1))[0]
+                print(f"{fn}: LR='{pred_lr}' SR='{pred_sr}'")
+            n += 1
+        if n:
+            print(f"fps={n / (time.time() - t0):.2f}")
