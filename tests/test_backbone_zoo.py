@@ -28,3 +28,59 @@ def test_arch_forward(arch, rng):
     y = model.apply(variables, *inputs, **kwargs)
     assert y.shape == (2, 16, 64, c), f"{arch}: {y.shape}"
     assert np.isfinite(np.asarray(y)).all(), arch
+
+
+class TestExperimentalArchs:
+    """tsrn_c2f / sem_tsrn / RRDBNet_TL (reference model zoo beyond its CLI)."""
+
+    def test_tsrn_c2f(self, rng):
+        import jax
+
+        from tpgsr_tpu.models.tsrn import TSRN_C2F
+
+        m = TSRN_C2F(scale_factor=2, width=64, height=32, srb_nums=2, hidden_units=8)
+        x = rng.random((2, 16, 32, 4), dtype=np.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out, coarse = m.apply(v, x, train=False)
+        assert out.shape == (2, 32, 64, 4)
+        assert coarse.shape == (2, 16, 32, 4)
+
+    def test_sem_tsrn(self, rng):
+        import jax
+
+        from tpgsr_tpu.models.tsrn import SEM_TSRN
+
+        m = SEM_TSRN(scale_factor=2, width=64, height=32, srb_nums=2, hidden_units=8)
+        x = rng.random((2, 16, 32, 4), dtype=np.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out, vecs = m.apply(v, x, train=False)
+        assert out.shape == (2, 32, 64, 4)
+        assert len(vecs) == 2 and vecs[0].shape == (2, 300)
+
+    def test_rrdbnet_tl(self, rng):
+        import jax
+
+        from tpgsr_tpu.models.rrdb import RRDBNet_TL
+
+        m = RRDBNet_TL(scale_factor=2, nb=2, nf=16, gc=8)
+        x = rng.random((1, 8, 16, 3), dtype=np.float32)
+        prior = rng.random((1, 1, 26, 37), dtype=np.float32)
+        v = m.init(jax.random.PRNGKey(0), x, prior, train=False)
+        out = m.apply(v, x, prior, train=False)
+        assert out.shape == (1, 16, 32, 3)
+
+    def test_gumbel_softmax(self):
+        import jax
+
+        from tpgsr_tpu.ops.gumbel import gumbel_softmax
+
+        logits = np.array([[1.0, 5.0, 0.0]], np.float32)
+        y = gumbel_softmax(jax.random.PRNGKey(0), logits, 0.8)
+        row = np.asarray(y)[0]
+        assert set(np.round(row, 6)).issubset({0.0, 1.0})
+        assert row.sum() == 1.0
+        # straight-through: gradient flows to logits
+        g = jax.grad(lambda l: gumbel_softmax(jax.random.PRNGKey(0), l).sum())(
+            np.array([[1.0, 5.0, 0.0]], np.float32)
+        )
+        assert np.asarray(g).shape == (1, 3)

@@ -113,3 +113,45 @@ class TestOptTPG:
         # FAN resnet on W=100: 100/2/2 -> (2,1) pool pad1 -> 26 -> conv4_1 pad1 -> 27 -> k2 -> 26
         assert logits.shape[1] == 2 and logits.shape[2] == 37
         assert logits.shape[0] == 26
+
+
+class TestEvalRecIntegration:
+    """make_eval_step with ASTER/MORAN eval recognizers (test_bible dispatch)."""
+
+    def _setup(self):
+        from tests.test_train import _tiny_setup
+
+        return _tiny_setup(stu_iter=1, sr_share=True, tpg_share=True)
+
+    def test_aster_eval_step(self):
+        from tests.test_train import B, H, W, _batch
+        from tpgsr_tpu.charset import AsterInfo
+        from tpgsr_tpu.models.aster import RecognizerBuilder
+        from tpgsr_tpu.models.registry import ARCHS
+        from tpgsr_tpu.train.step import make_eval_step
+
+        args, config, sr_model, stu_model, state = self._setup()
+        info = AsterInfo("all")
+        rec = RecognizerBuilder(rec_num_classes=info.rec_num_classes,
+                                eos_id=info.char2id[info.EOS], max_len_labels=6)
+        rv = rec.init(jax.random.PRNGKey(0), np.zeros((1, 32, 128, 3), np.float32),
+                      train=False)
+        estep = make_eval_step("tsrn_tl_cascade", ARCHS["tsrn_tl_cascade"], sr_model,
+                               stu_model, args, config, eval_rec=("ASTER", rec, rv))
+        sr, outs = estep(state, _batch())
+        assert outs["logits_sr"].shape == (B, 6)  # beam ids
+
+    def test_moran_eval_step(self):
+        from tests.test_train import B, _batch
+        from tpgsr_tpu.models.moran import MORAN, MORAN_MAX_ITER, MORAN_NCLASS
+        from tpgsr_tpu.models.registry import ARCHS
+        from tpgsr_tpu.train.step import make_eval_step
+
+        args, config, sr_model, stu_model, state = self._setup()
+        rec = MORAN()
+        rv = rec.init(jax.random.PRNGKey(0), np.zeros((1, 32, 100, 1), np.float32),
+                      train=False)
+        estep = make_eval_step("tsrn_tl_cascade", ARCHS["tsrn_tl_cascade"], sr_model,
+                               stu_model, args, config, eval_rec=("MORAN", rec, rv))
+        sr, outs = estep(state, _batch())
+        assert outs["logits_sr"].shape == (B, MORAN_MAX_ITER, MORAN_NCLASS)

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+from PIL import Image
 
 from tpgsr_tpu.charset import CTC_CHAR_TO_ID, CTC_NUM_CLASSES
 from tpgsr_tpu.data.transforms import pil_downsample, resize_normalize
@@ -138,3 +139,98 @@ COLLATES = {
     "realWTLAMask": collate_real_wtl_amask,
     "syn": collate_syn,
 }
+
+
+def collate_syn_random_reso(batch, cfg: CollateConfig):
+    """``alignCollate_syn_random_reso`` (dataset.py:996-1089): NO resize —
+    per-image arrays at native resolution; HR is the image bicubic-upscaled
+    x2.  Returns lists (variable shapes; the --random_reso eval path pads or
+    buckets before jit)."""
+    from tpgsr_tpu.data.transforms import normalize
+
+    hrs, lrs, labels = [], [], []
+    for item in batch:
+        img, label = item[0], item[-1] if isinstance(item[-1], str) else item[2]
+        up = img.resize((img.size[0] * 2, img.size[1] * 2), Image.BICUBIC)
+        hrs.append(normalize(up, cfg.mask)[None])
+        lrs.append(normalize(img, cfg.mask)[None])
+        labels.append(label)
+    return {"hr_list": hrs, "lr_list": lrs, "labels": labels}
+
+
+def _dash_padded_onehot(word: str, prior_len: int, noise_rng=None) -> np.ndarray:
+    """The withcrop collate's label spreading (dataset.py:1360-1393): words
+    of length 2..25 are spread to ~26 chars by inserting '-' runs between
+    characters, then one-hot encoded; uniform(-0.1, 0.1) noise added."""
+    word = word.lower()
+    if len(word) > 4:
+        word = word[:2] + "e" + word[3:]
+    if len(word) <= 1:
+        pass
+    elif len(word) < prior_len:
+        padding = (prior_len - len(word)) // max(len(word) - 1, 1)
+        new_word = word[0]
+        for ch in word[1:]:
+            new_word += "-" * padding + ch
+        word = new_word
+    else:
+        word = word[:prior_len]
+    ids = [CTC_CHAR_TO_ID[ch] for ch in word if ch in CTC_CHAR_TO_ID]
+    vec = np.zeros((prior_len, CTC_NUM_CLASSES), np.float32)
+    if ids:
+        vec[np.arange(len(ids)), ids] = 1.0
+    return vec
+
+
+def collate_real_wtl_withcrop(batch, cfg: CollateConfig, rng=None):
+    """``alignCollate_realWTL_withcrop`` (dataset.py:1327-1411): crop-jitter
+    intervals (a no-op through the reference's resizeNormalizeRandomCrop
+    quirk), dash-spread one-hot label prior + uniform noise."""
+    rng = rng or np.random.default_rng(0)
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    b = len(labels)
+    label_vecs = np.zeros((b, 1, cfg.prior_len, CTC_NUM_CLASSES), np.float32)
+    for i, word in enumerate(labels):
+        label_vecs[i, 0] = _dash_padded_onehot(word, cfg.prior_len)
+    label_vecs += (rng.random(label_vecs.shape).astype(np.float32) - 0.5) * 0.2
+    return {"hr": hr, "lr": lr, "labels": labels, "label_vecs": label_vecs}
+
+
+def collate_c2f_real(batch, cfg: CollateConfig):
+    """``alignCollatec2f_real`` (dataset.py:1447-1482): adds the HR/LR pixel
+    average as a coarse target at LR size (tsrn_c2f's auxiliary output)."""
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    mx = []
+    for img_hr, img_lr, _ in batch:
+        a = np.asarray(img_hr.convert("RGB"), np.float32)
+        b_ = np.asarray(img_lr.resize(img_hr.size).convert("RGB"), np.float32)
+        from PIL import Image as _I
+
+        mid = _I.fromarray(((a + b_) / 2.0).astype(np.uint8))
+        mx.append(
+            resize_normalize(
+                mid,
+                (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale),
+                cfg.mask,
+            )
+        )
+    return {"hr": hr, "lr": lr, "labels": labels, "coarse": np.stack(mx)}
+
+
+def collate_w2v_real(batch, cfg: CollateConfig):
+    """``alignCollateW2V_real`` (dataset.py:1414-1444): the FastText hook is
+    effectively disabled in the reference (import commented); zero word
+    vectors of the documented width (300) keep the sem_tsrn interface."""
+    hr, lr, labels = _stack_pairs(batch, cfg)
+    w2v = np.zeros((len(labels), 300), np.float32)
+    return {"hr": hr, "lr": lr, "labels": labels, "w2v": w2v}
+
+
+COLLATES.update(
+    {
+        "syn_random_reso": collate_syn_random_reso,
+        "realWTL_withcrop": collate_real_wtl_withcrop,
+        "c2f_real": collate_c2f_real,
+        "W2V_real": collate_w2v_real,
+    }
+)

@@ -137,3 +137,108 @@ class ConcatDataset:
         if ds_idx > 0:
             idx = idx - self.cumulative_sizes[ds_idx - 1]
         return self.datasets[ds_idx][idx]
+
+
+class TextZoomWithMask(TextZoomDataset):
+    """Paired dataset + edge weight-mask of the HR image.
+
+    == ``lmdbDatasetWithMask_real`` (dataset.py:816-871); the mask is the
+    Canny->dilate->blur soft weight in [0.4, 0.9] (edges.edge_weight_mask).
+    Items: (img_hr, img_lr, label_str, weighted_mask).
+    """
+
+    def __getitem__(self, index: int):
+        from tpgsr_tpu.data.edges import edge_weight_mask
+
+        img_hr, img_lr, label = super().__getitem__(index)
+        return img_hr, img_lr, label, edge_weight_mask(img_hr)
+
+
+class SingleImageLMDBIC15(SingleImageLMDB):
+    """IC15-style LMDB: single ``image-%09d`` record, LR = HR.
+
+    == ``lmdbDataset_realIC15`` (dataset.py:461-507).  Items mirror the
+    paired interface: (img_hr, img_lr=img_hr, label_str).
+    """
+
+    def __getitem__(self, index: int):
+        img, label = super().__getitem__(index)
+        return img, img, label
+
+
+# lmdbDataset_realCOCOText (:509) / _realIIIT (:354) / _realBadSet (:410) are
+# the same single-image-LMDB shape with different key fallbacks; one class
+# covers them all.
+COCOTextLMDB = SingleImageLMDBIC15
+IIITLMDB = SingleImageLMDBIC15
+BadSetLMDB = SingleImageLMDBIC15
+
+
+class SVTDataset:
+    """SVT folder layout: <root>/svt_{train,test}/{IMG,label}.
+
+    == ``lmdbDataset_realSVT`` (dataset.py:242-296).  Items:
+    (img_hr, img_lr=img_hr, label_str).
+    """
+
+    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 100, test: bool = False):
+        split = "svt_test" if test else "svt_train"
+        d = os.path.join(root, split)
+        self.image_dir = os.path.join(d, "IMG")
+        self.anno_dir = os.path.join(d, "label")
+        self.anno_list = sorted(os.listdir(self.anno_dir))
+        self.voc_type = voc_type
+        self.max_len = max_len
+
+    def __len__(self) -> int:
+        return len(self.anno_list)
+
+    def __getitem__(self, index: int):
+        for probe in range(index, min(index + 16, len(self))):
+            anno = self.anno_list[probe % len(self)]
+            image_path = os.path.join(self.image_dir, anno.split(".")[0] + ".jpg")
+            anno_path = os.path.join(self.anno_dir, anno)
+            if not os.path.isfile(image_path):
+                continue
+            try:
+                with open(anno_path) as f:
+                    word = f.readlines()[0].strip()
+                img = Image.open(image_path).convert("RGB")
+            except (IOError, OSError, IndexError, ValueError):
+                continue
+            return img, img, str_filt(word, self.voc_type)
+        raise IOError(f"no readable SVT record at or after index {index}")
+
+
+class IC15TextSRDataset:
+    """IC15 TextSR folder of PGM triples + GT file.
+
+    == ``lmdbDataset_realIC15TextSR`` (dataset.py:152-238): reads
+    <root>/{HRx2,LRx2}/<split>/<name>.pgm pairs listed in a GT text file of
+    lines ``<name>, "<label>"``.  Items: (img_hr, img_lr, label_str).
+    """
+
+    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 100, test: bool = False):
+        split = "test" if test else "train"
+        self.hr_dir = os.path.join(root, "HRx2", split)
+        self.lr_dir = os.path.join(root, "LRx2", split)
+        gt_file = os.path.join(root, f"{split}_GT.txt")
+        self.items: List[Tuple[str, str]] = []
+        with open(gt_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                name, _, label = line.partition(",")
+                self.items.append((name.strip(), label.strip().strip('"')))
+        self.voc_type = voc_type
+        self.max_len = max_len
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, index: int):
+        name, label = self.items[index]
+        img_hr = Image.open(os.path.join(self.hr_dir, name + ".pgm")).convert("RGB")
+        img_lr = Image.open(os.path.join(self.lr_dir, name + ".pgm")).convert("RGB")
+        return img_hr, img_lr, str_filt(label, self.voc_type)

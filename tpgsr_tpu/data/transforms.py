@@ -51,3 +51,53 @@ def pil_downsample(img: Image.Image, factor: int) -> Image.Image:
     """Bicubic downsample by an integer factor (alignCollate_syn,
     dataset.py:984-986)."""
     return img.resize((img.size[0] // factor, img.size[1] // factor), Image.BICUBIC)
+
+
+def resize_normalize_random_crop(
+    img: Image.Image, size: Tuple[int, int], mask: bool = False, interval=None
+) -> np.ndarray:
+    """``resizeNormalizeRandomCrop`` (dataset.py:656-688).
+
+    NOTE reference quirk: the condition ``if w < 32 or not interval is None``
+    means a *given* interval triggers the plain-resize branch, so the random
+    horizontal crop is effectively a no-op in alignCollate_realWTL_withcrop
+    (dataset.py:1341-1347).  Mirrored faithfully.
+    """
+    w, _ = img.size
+    if w < 32 or interval is not None:
+        return resize_normalize(img, size, mask)
+    arr = np.array(img)
+    h, w = arr.shape[:2]
+    # unreachable in the reference path (interval is None here); kept for API
+    cropped = Image.fromarray(arr)
+    return resize_normalize(cropped, size, mask)
+
+
+def resize_normalize_keep_ratio(
+    img: Image.Image, size: Tuple[int, int], mask: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``resizeNormalizeKeepRatio`` (dataset.py:689-763): resize to target
+    height keeping aspect, center-pad width with zeros; returns
+    (image [H,W,C(+1)], valid-mask at 2x target size [2H,2W])."""
+    tw, th = size
+    ow, oh = img.size
+    ratio = ow / float(oh)
+    re_w = int(th * ratio)
+    if re_w > tw:
+        arr = resize_normalize(img, size, mask)
+        valid = np.ones((th, tw), np.float32)
+    else:
+        small = img.resize((re_w, th), Image.BICUBIC)
+        arr_small = np.asarray(small.convert("RGB"), np.float32) / 255.0
+        shift = (tw - re_w) // 2
+        arr = np.zeros((th, tw, 3), np.float32)
+        arr[:, shift : shift + re_w] = arr_small
+        valid = np.zeros((th, tw), np.float32)
+        valid[:, shift : shift + re_w] = 1.0
+        if mask:
+            m = contour_mask(small)[..., 0]
+            full = np.zeros((th, tw, 1), np.float32)
+            full[:, shift : shift + re_w, 0] = m
+            arr = np.concatenate([arr, full], axis=-1)
+    valid2x = np.repeat(np.repeat(valid, 2, axis=0), 2, axis=1)
+    return arr, valid2x

@@ -178,3 +178,145 @@ def _import_stn_head(params: Dict, stats: Dict, sd: Dict, tp: str, fp: Tuple[str
     _set(stats, inner + ("var",), sd[f"{tp}.stn_fc1.1.running_var"])
     _set(params, fp + ("fc2_kernel",), linear_w(sd[f"{tp}.stn_fc2.weight"]))
     _set(params, fp + ("fc2_bias",), sd[f"{tp}.stn_fc2.bias"])
+
+
+def _rnn_layer(params: Dict, sd: Dict, torch_prefix: str, layer: int, flax_path: Tuple[str, ...]):
+    """Copy one layer of a (multi-layer) torch LSTM/GRU into a BiLSTM/BiGRU
+    module whose params are named ``w_ih_l0``-style (layer-local)."""
+    for suffix in ("", "_reverse"):
+        for part in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            key = f"{torch_prefix}.{part}_l{layer}{suffix}"
+            if key in sd:
+                ours = part.replace("weight_", "w_").replace("bias_", "b_") + f"_l0{suffix}"
+                _set(params, flax_path + (ours,), sd[key])
+
+
+def import_aster(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map an ASTER RecognizerBuilder state_dict (aster_demo.pth.tar,
+    model/recognizer/recognizer_builder.py:27-104) onto models.aster."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    enc = ("encoder",)
+    _conv(params, sd, "encoder.layer0.0", enc + ("layer0_conv",))
+    _bn(params, stats, sd, "encoder.layer0.1", enc + ("layer0_bn",))
+    layers = [3, 4, 6, 6, 3]
+    for li, blocks in enumerate(layers, start=1):
+        for bi in range(blocks):
+            tp = f"encoder.layer{li}.{bi}"
+            fp = enc + (f"layer{li}_block{bi}",)
+            _conv(params, sd, f"{tp}.conv1", fp + ("conv1",))
+            _bn(params, stats, sd, f"{tp}.bn1", fp + ("bn1",))
+            _conv(params, sd, f"{tp}.conv2", fp + ("conv2",))
+            _bn(params, stats, sd, f"{tp}.bn2", fp + ("bn2",))
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv(params, sd, f"{tp}.downsample.0", fp + ("downsample_conv",))
+                _bn(params, stats, sd, f"{tp}.downsample.1", fp + ("downsample_bn",))
+    _rnn_layer(params, sd, "encoder.rnn", 0, enc + ("rnn_l0",))
+    _rnn_layer(params, sd, "encoder.rnn", 1, enc + ("rnn_l1",))
+
+    dec = ("decoder", "decoder")
+    for lin in ("sEmbed", "xEmbed", "wEmbed"):
+        _linear(params, sd, f"decoder.decoder.attention_unit.{lin}",
+                dec + ("attention_unit", lin))
+    _set(params, dec + ("tgt_embedding", "embedding"),
+         sd["decoder.decoder.tgt_embedding.weight"])
+    for part, ours in (("weight_ih_l0", "gru_w_ih"), ("weight_hh_l0", "gru_w_hh"),
+                       ("bias_ih_l0", "gru_b_ih"), ("bias_hh_l0", "gru_b_hh")):
+        _set(params, dec + (ours,), sd[f"decoder.decoder.gru.{part}"])
+    _linear(params, sd, "decoder.decoder.fc", dec + ("fc",))
+
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def import_moran(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a MORAN state_dict (moran_demo.pth, model/moran/) onto
+    models.moran.MORAN."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    # MORN offset CNN: Sequential indices (conv, bn) = (1,2) (5,6) (9,10)
+    # (12,13) (15,16) -> our cnn0..cnn4 (+_bn), under MORN/cnn
+    morn = ("MORN", "cnn")
+    for ours, (ci, bi) in zip(
+        ("cnn0", "cnn1", "cnn2", "cnn3", "cnn4"),
+        ((1, 2), (5, 6), (9, 10), (12, 13), (15, 16)),
+    ):
+        _conv(params, sd, f"MORN.cnn.{ci}", morn + (ours,))
+        _bn(params, stats, sd, f"MORN.cnn.{bi}", morn + (f"{ours}_bn",))
+
+    # ASRN ResNet
+    asrn = ("ASRN",)
+    cnn = asrn + ("cnn",)
+    _conv(params, sd, "ASRN.cnn.block0.0", cnn + ("block0_conv",))
+    _bn(params, stats, sd, "ASRN.cnn.block0.1", cnn + ("block0_bn",))
+    repeats = [3, 4, 6, 6, 3]
+    for li, n in enumerate(repeats, start=1):
+        for ri in range(n):
+            tp = f"ASRN.cnn.block{li}.{ri}"
+            fp = cnn + (f"block{li}_{ri}",)
+            _conv(params, sd, f"{tp}.conv1.0", fp + ("conv1",))
+            _bn(params, stats, sd, f"{tp}.conv1.1", fp + ("bn1",))
+            _conv(params, sd, f"{tp}.conv2.0", fp + ("conv2",))
+            _bn(params, stats, sd, f"{tp}.conv2.1", fp + ("bn2",))
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv(params, sd, f"{tp}.downsample.0", fp + ("down_conv",))
+                _bn(params, stats, sd, f"{tp}.downsample.1", fp + ("down_bn",))
+
+    for j in (0, 1):
+        _rnn_layer(params, sd, f"ASRN.rnn.{j}.rnn", 0, asrn + (f"rnn{j}",))
+        _linear(params, sd, f"ASRN.rnn.{j}.embedding", asrn + (f"rnn{j}_embedding",))
+
+    for att in ("attentionL2R", "attentionR2L"):
+        tp = f"ASRN.{att}"
+        if f"{tp}.char_embeddings" not in sd:
+            continue
+        fp = asrn + (att,)
+        _set(params, fp + ("char_embeddings",), sd[f"{tp}.char_embeddings"])
+        _linear(params, sd, f"{tp}.generator", fp + ("generator",))
+        cell = f"{tp}.attention_cell"
+        _linear(params, sd, f"{cell}.i2h", fp + ("i2h",))
+        _linear(params, sd, f"{cell}.h2h", fp + ("h2h",))
+        _linear(params, sd, f"{cell}.score", fp + ("score",))
+        for part, ours in (("weight_ih", "gru_w_ih"), ("weight_hh", "gru_w_hh"),
+                           ("bias_ih", "gru_b_ih"), ("bias_hh", "gru_b_hh")):
+            _set(params, fp + (ours,), sd[f"{cell}.rnn.{part}"])
+    return {"params": params, "batch_stats": stats}
+
+
+def import_opt(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the clova None-ResNet-None-CTC state_dict
+    (None-ResNet-None-CTC.pth, model/crnn/model.py:25-95) onto
+    models.opt_tpg.OPTModel."""
+    params: Dict = {}
+    stats: Dict = {}
+    fe = ("FeatureExtraction",)
+    base = "FeatureExtraction.ConvNet"
+
+    def conv_bn(tp_conv, tp_bn, name):
+        _conv(params, sd, f"{base}.{tp_conv}", fe + (f"{name}_conv",))
+        _bn(params, stats, sd, f"{base}.{tp_bn}", fe + (f"{name}_bn",))
+
+    conv_bn("conv0_1", "bn0_1", "conv0_1")
+    conv_bn("conv0_2", "bn0_2", "conv0_2")
+    layers = [1, 2, 5, 3]
+    for si, n in enumerate(layers, start=1):
+        for bi in range(n):
+            tp = f"{base}.layer{si}.{bi}"
+            fp = fe + (f"layer{si}_{bi}",)
+            _conv(params, sd, f"{tp}.conv1", fp + ("conv1",))
+            _bn(params, stats, sd, f"{tp}.bn1", fp + ("bn1",))
+            _conv(params, sd, f"{tp}.conv2", fp + ("conv2",))
+            _bn(params, stats, sd, f"{tp}.bn2", fp + ("bn2",))
+            if f"{tp}.downsample.0.weight" in sd:
+                _conv(params, sd, f"{tp}.downsample.0", fp + ("down_conv",))
+                _bn(params, stats, sd, f"{tp}.downsample.1", fp + ("down_bn",))
+        if si < 4:
+            conv_bn(f"conv{si}", f"bn{si}", f"conv{si}")
+    conv_bn("conv4_1", "bn4_1", "conv4_1")
+    conv_bn("conv4_2", "bn4_2", "conv4_2")
+    _set(params, ("Prediction", "kernel"), linear_w(sd["Prediction.weight"]))
+    _set(params, ("Prediction", "bias"), sd["Prediction.bias"])
+    return {"params": params, "batch_stats": stats}

@@ -120,18 +120,14 @@ class DecoderUnit(nn.Module):
         gru_in = jnp.concatenate([emb, context], axis=-1)
 
         # single torch-GRU step (gate order r,z,n)
+        from tpgsr_tpu.models.layers import torch_uniform_init
+
         in_dim = gru_in.shape[-1]
-        bound = 1.0 / np.sqrt(self.s_dim)
-        init = nn.initializers.uniform(scale=2 * bound)
-
-        def p(name, shape):
-            # uniform(-bound, bound): flax uniform is [0, scale); shift below
-            return self.param(name, init, shape) - bound
-
-        w_ih = p("gru_w_ih", (3 * self.s_dim, in_dim))
-        w_hh = p("gru_w_hh", (3 * self.s_dim, self.s_dim))
-        b_ih = p("gru_b_ih", (3 * self.s_dim,))
-        b_hh = p("gru_b_hh", (3 * self.s_dim,))
+        init = torch_uniform_init(self.s_dim)
+        w_ih = self.param("gru_w_ih", init, (3 * self.s_dim, in_dim))
+        w_hh = self.param("gru_w_hh", init, (3 * self.s_dim, self.s_dim))
+        b_ih = self.param("gru_b_ih", init, (3 * self.s_dim,))
+        b_hh = self.param("gru_b_hh", init, (3 * self.s_dim,))
         gi = gru_in @ w_ih.T + b_ih
         gh = state @ w_hh.T + b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
@@ -277,7 +273,9 @@ class RecognizerBuilder(nn.Module):
             name="decoder",
         )
         if self.stn_on:
-            self.stn_head = STNHead(num_ctrlpoints=20, activation="none", name="stn_head")
+            self.stn_head = STNHead(
+                num_ctrlpoints=20, activation="none", last_pool=(2, 2), name="stn_head"
+            )
             self.tps = TPSSpatialTransformer(
                 output_image_size=(32, 100), num_control_points=20, margins=(0.05, 0.05)
             )

@@ -172,13 +172,14 @@ class MoranAttention(nn.Module):
         generator = TorchLinear(self.num_classes, name="generator")
 
         # GRUCell over [context(c) + embedding]
+        from tpgsr_tpu.models.layers import torch_uniform_init
+
         in_dim = c + self.num_embeddings
-        bound = 1.0 / np.sqrt(self.hidden)
-        uni = nn.initializers.uniform(scale=2 * bound)
-        w_ih = self.param("gru_w_ih", uni, (3 * self.hidden, in_dim)) - bound
-        w_hh = self.param("gru_w_hh", uni, (3 * self.hidden, self.hidden)) - bound
-        b_ih = self.param("gru_b_ih", uni, (3 * self.hidden,)) - bound
-        b_hh = self.param("gru_b_hh", uni, (3 * self.hidden,)) - bound
+        uni = torch_uniform_init(self.hidden)
+        w_ih = self.param("gru_w_ih", uni, (3 * self.hidden, in_dim))
+        w_hh = self.param("gru_w_hh", uni, (3 * self.hidden, self.hidden))
+        b_ih = self.param("gru_b_ih", uni, (3 * self.hidden,))
+        b_hh = self.param("gru_b_hh", uni, (3 * self.hidden,))
 
         feats_proj = i2h(feats_btc)  # precompute once [B,T,h]
 

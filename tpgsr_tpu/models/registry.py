@@ -14,10 +14,10 @@ from tpgsr_tpu.models.bicubic import BICUBIC
 from tpgsr_tpu.models.edsr import EDSR
 from tpgsr_tpu.models.lapsrn import LapSRN
 from tpgsr_tpu.models.rdn import RDN, RDN_TL
-from tpgsr_tpu.models.rrdb import RRDBNet
+from tpgsr_tpu.models.rrdb import RRDBNet, RRDBNet_TL
 from tpgsr_tpu.models.srcnn import SRCNN, SRCNN_TL
 from tpgsr_tpu.models.srresnet import SRResNet, SRResNet_TL
-from tpgsr_tpu.models.tsrn import TSRN, TSRN_TL
+from tpgsr_tpu.models.tsrn import SEM_TSRN, TSRN, TSRN_C2F, TSRN_TL
 
 # archs run through the cascade/distill training path
 # (super_resolution.py:44 ABLATION_SET)
@@ -83,6 +83,21 @@ ARCHS = {
     "vdsr_tl": ArchSpec(
         lambda a, c: VDSR_TLWrap(c), "mse", 4, True
     ),
+    # experimental archs present in the reference code but not its CLI
+    # (model/tsrn.py:218-370, model/rrdb.py:131-160)
+    "tsrn_c2f": ArchSpec(
+        lambda a, c: TSRN_C2F(
+            scale_factor=c["scale_factor"], width=c["width"], height=c["height"],
+            stn=a["STN"], mask=a["mask"], srb_nums=a["srb"], hidden_units=a["hd_u"],
+        ), "image", 4, False,
+    ),
+    "sem_tsrn": ArchSpec(
+        lambda a, c: SEM_TSRN(
+            scale_factor=c["scale_factor"], width=c["width"], height=c["height"],
+            stn=a["STN"], mask=a["mask"], srb_nums=a["srb"], hidden_units=a["hd_u"],
+        ), "image", 4, False,
+    ),
+    "esrgan_tl": ArchSpec(lambda a, c: RRDBNet_TL(c["scale_factor"]), "l1", 3, True),
 }
 
 

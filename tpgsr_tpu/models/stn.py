@@ -66,16 +66,21 @@ def _init_ctrl_points(num_ctrlpoints: int, margin: float = 0.01) -> np.ndarray:
 class STNHead(nn.Module):
     """Predict 20 TPS control points from the (LR) image.
 
-    Exact reference pool schedule (stn_head.py:34-45), sized for 16x64 input.
+    Two reference variants share this module:
+      * SR (model/stn_head.py:34-45, 16x64 input): 5th pool is (1,2) —
+        ``last_pool=(1, 2)`` (default).
+      * recognizer (model/recognizer/stn_head.py:33-44, 32x64 input): all
+        five pools are (2,2) — pass ``last_pool=(2, 2)`` (ASTER).
     """
 
     num_ctrlpoints: int = 20
     activation: str = "none"
+    last_pool: Tuple[int, int] = (1, 2)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # conv(32) pool2 conv(64) pool2 conv(128) pool2 conv(256) pool2
-        # conv(256) pool(1,2) conv(256)
+        # conv(256) pool(last_pool) conv(256)
         x = _ConvBlock(32)(x, train)
         x = nn.max_pool(x, (2, 2), (2, 2))
         x = _ConvBlock(64)(x, train)
@@ -85,7 +90,7 @@ class STNHead(nn.Module):
         x = _ConvBlock(256)(x, train)
         x = nn.max_pool(x, (2, 2), (2, 2))
         x = _ConvBlock(256)(x, train)
-        x = nn.max_pool(x, (1, 2), (1, 2))
+        x = nn.max_pool(x, self.last_pool, self.last_pool)
         x = _ConvBlock(256)(x, train)
         b = x.shape[0]
         # reference flattens NCHW ([B, 256, 1, 2] -> [B, 512] with channel-major

@@ -199,3 +199,123 @@ class TSRN_TL(nn.Module):
             b = UpsampleBlock(ch, 2, name=f"block{self.srb_nums + 3}_up{j}")(b)
         b = TorchConv(in_planes, (9, 9), padding=(4, 4), name=f"block{self.srb_nums + 3}_conv")(b)
         return jnp.tanh(b)
+
+
+class TSRN_C2F(nn.Module):
+    """Coarse-to-fine TSRN (model/tsrn.py:218-283): plain SRB trunk, a
+    coarse projection at LR scale, upsample head over [trunk+skip, coarse]."""
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_planes = 4 if self.mask else 3
+        ch = 2 * self.hidden_units
+        upsample_block_num = int(math.log2(self.scale_factor))
+
+        if self.stn and train:
+            _, ctrl = STNHead(name="stn_head")(x, train=train)
+            tps = TPSSpatialTransformer(
+                (self.height // self.scale_factor, self.width // self.scale_factor)
+            )
+            x, _ = tps(x, ctrl)
+
+        block1 = TorchConv(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        block1 = PReLU(name="block1_prelu")(block1)
+
+        b = block1
+        for i in range(self.srb_nums):
+            b = RecurrentResidualBlock(ch, name=f"block{i + 2}")(b, train=train)
+        b = TorchConv(ch, (3, 3), padding=(1, 1), name=f"block{self.srb_nums + 2}_conv")(b)
+        b = BatchNorm(name=f"block{self.srb_nums + 2}_bn")(b, use_running_average=not train)
+
+        proj_coarse = TorchConv(in_planes, (9, 9), padding=(4, 4), name="coarse_proj")(b)
+
+        h = jnp.concatenate([block1 + b, proj_coarse], axis=-1)
+        for j in range(upsample_block_num):
+            h = UpsampleBlock(ch + in_planes, 2, name=f"block{self.srb_nums + 3}_up{j}")(h)
+        h = TorchConv(in_planes, (9, 9), padding=(4, 4), name=f"block{self.srb_nums + 3}_conv")(h)
+        return jnp.tanh(h), proj_coarse
+
+
+class ReasoningResidualBlock(nn.Module):
+    """conv-BN-mish-conv-BN -> FeatureEnhancer self-attention over H*W
+    (model/tsrn.py:430-461)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, word_vecs=None, train: bool = True):
+        from tpgsr_tpu.models.transformer import FeatureEnhancerW2V
+
+        residual = TorchConv(self.channels, (3, 3), padding=(1, 1), name="conv1")(x)
+        residual = BatchNorm(name="bn1")(residual, use_running_average=not train)
+        residual = mish(residual)
+        residual = TorchConv(self.channels, (3, 3), padding=(1, 1), name="conv2")(residual)
+        residual = BatchNorm(name="bn2")(residual, use_running_average=not train)
+
+        b, h, w, c = residual.shape
+        flat = jnp.transpose(residual, (0, 3, 1, 2)).reshape(b, c, h * w)
+        flat = FeatureEnhancerW2V(
+            vec_d=300, feature_size=self.channels, head_num=4, name="feature_enhancer"
+        )(flat, word_vecs)
+        residual = jnp.transpose(flat.reshape(b, c, h, w), (0, 2, 3, 1))
+        return x + residual
+
+
+class SEM_TSRN(nn.Module):
+    """Semantic-reasoning TSRN (model/tsrn.py:286-370, experimental):
+    ReasoningResidualBlocks with per-block word-vector prediction.
+
+    Returns (sr_image, [per-block predicted word vectors])."""
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+    word_vec_d: int = 300
+
+    @nn.compact
+    def __call__(self, x, word_vecs=None, train: bool = True):
+        from tpgsr_tpu.models.transformer import ImFeat2WordVec
+
+        in_planes = 4 if self.mask else 3
+        ch = 2 * self.hidden_units
+        upsample_block_num = int(math.log2(self.scale_factor))
+
+        if self.stn and train:
+            _, ctrl = STNHead(name="stn_head")(x, train=train)
+            tps = TPSSpatialTransformer(
+                (self.height // self.scale_factor, self.width // self.scale_factor)
+            )
+            x, _ = tps(x, ctrl)
+
+        block1 = TorchConv(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        block1 = PReLU(name="block1_prelu")(block1)
+
+        w2v_proj = ImFeat2WordVec(self.word_vec_d, name="w2v_proj")
+        all_pred_vecs = []
+        b = block1
+        for i in range(self.srb_nums):
+            pred_vecs = w2v_proj(b)
+            all_pred_vecs.append(pred_vecs)
+            wv = word_vecs if (train and word_vecs is not None) else pred_vecs
+            b = ReasoningResidualBlock(ch, name=f"block{i + 2}")(b, wv, train=train)
+
+        b = TorchConv(ch, (3, 3), padding=(1, 1), name=f"block{self.srb_nums + 2}_conv")(b)
+        b = BatchNorm(name=f"block{self.srb_nums + 2}_bn")(b, use_running_average=not train)
+
+        h = block1 + b
+        for j in range(upsample_block_num):
+            h = UpsampleBlock(ch, 2, name=f"block{self.srb_nums + 3}_up{j}")(h)
+        h = TorchConv(in_planes, (9, 9), padding=(4, 4), name=f"block{self.srb_nums + 3}_conv")(h)
+        return jnp.tanh(h), all_pred_vecs

@@ -34,6 +34,7 @@ from tpgsr_tpu import losses as L
 from tpgsr_tpu.models.registry import ABLATION_SET, TL_SIMPLE, ArchSpec
 from tpgsr_tpu.ops.ctc import ctc_loss
 from tpgsr_tpu.ops.image import calculate_psnr, ssim
+from tpgsr_tpu.ops.resize import interpolate_bicubic
 from tpgsr_tpu.train.priors import (
     logits_to_prior,
     parse_crnn_data,
@@ -196,12 +197,21 @@ def make_eval_step(
     args,
     config,
     with_recognizer: bool = True,
+    eval_rec=None,
 ):
     """Jitted eval step: cascade inference in eval mode + metrics.
 
     Returns (sr_images, outs) where outs holds per-batch PSNR/SSIM sums and
-    (optionally) CRNN logits on SR/LR/HR for host-side decode+accuracy —
-    mirroring TextSR.eval (super_resolution.py:540-1347).
+    (optionally) eval-recognizer outputs on SR/LR/HR for host-side
+    decode+accuracy — mirroring TextSR.eval (super_resolution.py:540-1347).
+
+    ``eval_rec``: optional (kind, model, variables) for a non-CRNN eval
+    recognizer from the test_bible (super_resolution.py:107-135):
+      * kind='ASTER': input bicubic 32x128 RGB scaled to [-1,1]
+        (parse_aster_data, base.py:844-864); output beam-searched ids.
+      * kind='MORAN': input bicubic 32x100 grayscale (parse_moran_data,
+        base.py:608-632); output 20-step L2R logits.
+    The default (None) evaluates with the frozen teacher CRNN.
     """
     t = config.TRAIN
     stu_iter = int(args.get("stu_iter", 1))
@@ -210,6 +220,27 @@ def make_eval_step(
     in_ch = spec.in_channels
     cw = _crnn_width(int(t.get("width", 128)))
     is_tl = arch in ABLATION_SET or arch in TL_SIMPLE
+
+    if eval_rec is not None:
+        rec_kind, rec_model, rec_vars = eval_rec
+    else:
+        rec_kind, rec_model, rec_vars = "CRNN", None, None
+
+    def recognize(state: TrainState, img):
+        """Run the eval recognizer on [B,H,W,C] images in [0,1]."""
+        if rec_kind == "ASTER":
+            x = interpolate_bicubic(img[..., :3], (32, 128)) * 2.0 - 1.0
+            out = rec_model.apply(rec_vars, x, train=False)
+            return out["output"]["pred_rec"]  # [B, max_len] ids
+        if rec_kind == "MORAN":
+            x = parse_crnn_data(img, 100)  # same bicubic 32x100 + gray
+            l2r, _ = rec_model.apply(rec_vars, x, train=False)
+            return l2r  # [B, 20, nclass]
+        logits, _ = _apply(
+            stu_model, state.teacher_params, state.teacher_stats,
+            (parse_crnn_data(img, cw),), train=False,
+        )
+        return logits
 
     def eval_step(state: TrainState, batch):
         hr, lr = batch["hr"], batch["lr"]
@@ -242,21 +273,13 @@ def make_eval_step(
         sr = sr_list[-1]
         outs["psnr"] = calculate_psnr(sr[..., :3], hr[..., :3])
         outs["ssim"] = ssim(sr[..., :3], hr[..., :3])
-        if with_recognizer and state.teacher_params is not None:
-            # CRNN eval recognizer == the pretrained CRNN (test_bible['CRNN'])
+        can_recognize = rec_kind != "CRNN" or state.teacher_params is not None
+        if with_recognizer and can_recognize:
             for name, img in (("sr", sr), ("lr", lr), ("hr", hr)):
-                logits, _ = _apply(
-                    stu_model, state.teacher_params, state.teacher_stats,
-                    (parse_crnn_data(img, cw),), train=False,
-                )
-                outs[f"logits_{name}"] = logits
-            # per-stage logits for cascade counters (super_resolution.py:1127)
+                outs[f"logits_{name}"] = recognize(state, img)
+            # per-stage outputs for cascade counters (super_resolution.py:1127)
             for i, s in enumerate(sr_list[:-1]):
-                logits, _ = _apply(
-                    stu_model, state.teacher_params, state.teacher_stats,
-                    (parse_crnn_data(s, cw),), train=False,
-                )
-                outs[f"logits_stage{i}"] = logits
+                outs[f"logits_stage{i}"] = recognize(state, s)
         return sr, outs
 
     return jax.jit(eval_step)

@@ -149,12 +149,53 @@ class TextSR:
         self._state = shard_params(self.mesh, state)
         return self._state
 
+    def _eval_recognizer(self):
+        """test_bible[--test_model] (super_resolution.py:107-135): the frozen
+        eval recognizer + its host-side string decoder."""
+        kind = self.args.get("test_model", "CRNN")
+        val = self.config.TRAIN.VAL
+        if kind == "ASTER":
+            from tpgsr_tpu.charset import AsterInfo
+            from tpgsr_tpu.models.aster import RecognizerBuilder, decode_aster_ids
+
+            info = AsterInfo(self.config.TRAIN.voc_type)
+            model = RecognizerBuilder(
+                rec_num_classes=info.rec_num_classes,
+                eos_id=info.char2id[info.EOS], max_len_labels=info.max_len,
+            )
+            path = val.get("rec_pretrained", "")
+            if path and os.path.exists(path):
+                from tpgsr_tpu.interop.torch_import import import_aster, load_torch_state_dict
+
+                variables = import_aster(load_torch_state_dict(path))
+            else:
+                x = np.zeros((1, 32, 128, 3), np.float32)
+                variables = model.init(jax.random.PRNGKey(7), x, train=False)
+            return ("ASTER", model, variables), (lambda ids: decode_aster_ids(ids, info))
+        if kind == "MORAN":
+            from tpgsr_tpu.models.moran import MORAN, decode_moran_ids
+
+            model = MORAN()
+            path = val.get("moran_pretrained", "")
+            if path and os.path.exists(path):
+                from tpgsr_tpu.interop.torch_import import import_moran, load_torch_state_dict
+
+                variables = import_moran(load_torch_state_dict(path))
+            else:
+                x = np.zeros((1, 32, 100, 1), np.float32)
+                variables = model.init(jax.random.PRNGKey(7), x, train=False)
+            return ("MORAN", model, variables), decode_moran_ids
+        return None, None  # CRNN: teacher params inside the eval step
+
     def _build_steps(self):
         self._train_step = make_train_step(
             self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
         )
+        eval_rec, decoder = self._eval_recognizer()
+        self._decoder = decoder
         self._eval_step = make_eval_step(
-            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
+            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config,
+            eval_rec=eval_rec,
         )
 
     # ----------------------------------------------------------------- train
@@ -234,7 +275,8 @@ class TextSR:
         accs = {}
         for d, loader in zip(t.VAL.val_data_dir, val_loaders):
             name = os.path.basename(str(d).rstrip("/"))
-            md = evaluate(self._eval_step, state, loader)
+            md = evaluate(self._eval_step, state, loader,
+                          **({'decoder': self._decoder} if self._decoder else {}))
             print(
                 f"  [val {name}] acc={md['accuracy']:.4f} (lr={md['accuracy_lr']:.4f} "
                 f"hr={md['accuracy_hr']:.4f}) psnr={md['psnr_avg']:.2f} ssim={md['ssim_avg']:.4f}"
@@ -260,7 +302,8 @@ class TextSR:
         state = self._state or self.init_state()
         self._build_steps()
         t0 = time.time()
-        md = evaluate(self._eval_step, state, loader)
+        md = evaluate(self._eval_step, state, loader,
+                          **({'decoder': self._decoder} if self._decoder else {}))
         md["fps"] = md["images"] / (time.time() - t0)
         print({k: round(v, 4) if isinstance(v, float) else v for k, v in md.items()})
         return md
