@@ -68,3 +68,53 @@ def test_lstm_reverse_is_time_flip(rng):
     a = np.asarray(lstm_scan(x, p, reverse=True))
     bref = np.asarray(lstm_scan(x[:, ::-1], p))[:, ::-1]
     np.testing.assert_allclose(a, bref, atol=1e-6)
+
+
+def test_bigru_fused_matches_naive(rng):
+    from tpgsr_tpu.ops.rnn import bigru, bigru_fused
+
+    x = rng.random((3, 7, 8), dtype=np.float32)
+    mk = lambda g, c, h: {
+        "w_ih": rng.standard_normal((g * h, c)).astype(np.float32) * 0.2,
+        "w_hh": rng.standard_normal((g * h, h)).astype(np.float32) * 0.2,
+        "b_ih": rng.standard_normal((g * h,)).astype(np.float32) * 0.2,
+        "b_hh": rng.standard_normal((g * h,)).astype(np.float32) * 0.2,
+    }
+    fw, bw = mk(3, 8, 4), mk(3, 8, 4)
+    np.testing.assert_allclose(
+        np.asarray(bigru(x, fw, bw)), np.asarray(bigru_fused(x, fw, bw)), atol=1e-6
+    )
+
+
+def test_bilstm_fused_matches_naive(rng):
+    from tpgsr_tpu.ops.rnn import bilstm, bilstm_fused
+
+    x = rng.random((3, 7, 8), dtype=np.float32)
+    mk = lambda g, c, h: {
+        "w_ih": rng.standard_normal((g * h, c)).astype(np.float32) * 0.2,
+        "w_hh": rng.standard_normal((g * h, h)).astype(np.float32) * 0.2,
+        "b_ih": rng.standard_normal((g * h,)).astype(np.float32) * 0.2,
+        "b_hh": rng.standard_normal((g * h,)).astype(np.float32) * 0.2,
+    }
+    fw, bw = mk(4, 8, 4), mk(4, 8, 4)
+    np.testing.assert_allclose(
+        np.asarray(bilstm(x, fw, bw)), np.asarray(bilstm_fused(x, fw, bw)), atol=1e-6
+    )
+
+
+def test_pallas_bigru_interpret_matches(rng):
+    """The fused-sequence Pallas kernel (interpret mode on CPU)."""
+    from tpgsr_tpu.ops.pallas_gru import _bigru_pallas_impl
+    from tpgsr_tpu.ops.rnn import bigru
+
+    x = rng.random((24, 16, 12), dtype=np.float32)
+    mk = lambda c, h: {
+        "w_ih": rng.standard_normal((3 * h, c)).astype(np.float32) * 0.2,
+        "w_hh": rng.standard_normal((3 * h, h)).astype(np.float32) * 0.2,
+        "b_ih": rng.standard_normal((3 * h,)).astype(np.float32) * 0.2,
+        "b_hh": rng.standard_normal((3 * h,)).astype(np.float32) * 0.2,
+    }
+    fw, bw = mk(12, 8), mk(12, 8)
+    ref = np.asarray(bigru(x, fw, bw))
+    got = np.asarray(_bigru_pallas_impl(x, fw, bw, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpgsr_tpu.ops.rnn import bigru, bilstm
+from tpgsr_tpu.ops.rnn import bigru_fused, bilstm_fused
 
 
 def torch_uniform_init(fan_in: int) -> Callable:
@@ -188,7 +188,7 @@ class BiGRU(nn.Module):
             "b_ih": p("b_ih_l0_reverse", (3 * self.hidden,)),
             "b_hh": p("b_hh_l0_reverse", (3 * self.hidden,)),
         }
-        return bigru(x, fw, bw)
+        return bigru_fused(x, fw, bw)
 
 
 class BiLSTM(nn.Module):
@@ -216,7 +216,7 @@ class BiLSTM(nn.Module):
             "b_ih": p("b_ih_l0_reverse", (4 * self.hidden,)),
             "b_hh": p("b_hh_l0_reverse", (4 * self.hidden,)),
         }
-        return bilstm(x, fw, bw)
+        return bilstm_fused(x, fw, bw)
 
 
 class GruBlock(nn.Module):

@@ -142,3 +142,98 @@ def bilstm(
     y_f = lstm_scan(x_btc, fw, reverse=False)
     y_b = lstm_scan(x_btc, bw, reverse=True)
     return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+def _stack_params(fw: Dict[str, jax.Array], bw: Dict[str, jax.Array]):
+    out = {}
+    for k in fw:
+        out[k] = jnp.stack([fw[k], bw[k]])  # [2, ...]
+    return out
+
+
+def bigru_fused(
+    x_btc: jax.Array,
+    fw: Dict[str, jax.Array],
+    bw: Dict[str, jax.Array],
+) -> jax.Array:
+    """Bidirectional GRU as ONE scan (TPU-latency optimization).
+
+    The naive bigru runs two sequential length-T scans; on TPU each scan
+    step is a tiny dispatch-bound matmul, so halving the number of scans
+    nearly halves GRU wall-clock.  Here the backward direction becomes a
+    forward scan over the time-reversed input, and both directions' states
+    advance in one scan body via a [2, B, H] x [2, H, 3H] batched matmul.
+    Numerics identical to ``bigru``.
+    """
+    p = _stack_params(fw, bw)
+    w_ih, w_hh = p["w_ih"], p["w_hh"]  # [2, 3H, C], [2, 3H, H]
+    b_ih, b_hh = p.get("b_ih"), p.get("b_hh")
+    hidden = w_hh.shape[-1]
+    b = x_btc.shape[0]
+
+    x2 = jnp.stack([x_btc, x_btc[:, ::-1, :]])  # [2, B, T, C]
+    xp = jnp.einsum("kbtc,kgc->kbtg", x2, w_ih)
+    if b_ih is not None:
+        xp = xp + b_ih[:, None, None, :]
+    xp_t = jnp.moveaxis(xp, 2, 0)  # [T, 2, B, 3H]
+
+    h0 = jnp.zeros((2, b, hidden), x_btc.dtype)
+
+    def step(h, xp_step):
+        hp = jnp.einsum("kbh,kgh->kbg", h, w_hh)
+        if b_hh is not None:
+            hp = hp + b_hh[:, None, :]
+        xr, xz, xn = _split3(xp_step)
+        hr, hz, hn = _split3(hp)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, xp_t)  # [T, 2, B, H]
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)  # [B, T, H]
+    y_b = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1, :]
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
+def bilstm_fused(
+    x_btc: jax.Array,
+    fw: Dict[str, jax.Array],
+    bw: Dict[str, jax.Array],
+) -> jax.Array:
+    """Bidirectional LSTM as one scan (see bigru_fused)."""
+    p = _stack_params(fw, bw)
+    w_ih, w_hh = p["w_ih"], p["w_hh"]
+    b_ih, b_hh = p.get("b_ih"), p.get("b_hh")
+    hidden = w_hh.shape[-1]
+    b = x_btc.shape[0]
+
+    x2 = jnp.stack([x_btc, x_btc[:, ::-1, :]])
+    xp = jnp.einsum("kbtc,kgc->kbtg", x2, w_ih)
+    if b_ih is not None:
+        xp = xp + b_ih[:, None, None, :]
+    xp_t = jnp.moveaxis(xp, 2, 0)
+
+    h0 = jnp.zeros((2, b, hidden), x_btc.dtype)
+    c0 = jnp.zeros((2, b, hidden), x_btc.dtype)
+
+    def step(carry, xp_step):
+        h, c = carry
+        hp = jnp.einsum("kbh,kgh->kbg", h, w_hh)
+        if b_hh is not None:
+            hp = hp + b_hh[:, None, :]
+        xi, xf, xg, xo = _split4(xp_step)
+        hi, hf, hg, ho = _split4(hp)
+        i = jax.nn.sigmoid(xi + hi)
+        f = jax.nn.sigmoid(xf + hf)
+        g = jnp.tanh(xg + hg)
+        o = jax.nn.sigmoid(xo + ho)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    _, ys = jax.lax.scan(step, (h0, c0), xp_t)
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)
+    y_b = jnp.swapaxes(ys[:, 1], 0, 1)[:, ::-1, :]
+    return jnp.concatenate([y_f, y_b], axis=-1)
