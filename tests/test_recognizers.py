@@ -155,3 +155,48 @@ class TestEvalRecIntegration:
                                stu_model, args, config, eval_rec=("MORAN", rec, rv))
         sr, outs = estep(state, _batch())
         assert outs["logits_sr"].shape == (B, MORAN_MAX_ITER, MORAN_NCLASS)
+
+
+class TestSeed:
+    def test_seed_beam_and_embed(self):
+        from tpgsr_tpu.charset import AsterInfo
+        from tpgsr_tpu.models.seed import SEEDModelBuilder, parse_seed_data
+
+        info = AsterInfo("all")
+        m = SEEDModelBuilder(rec_num_classes=info.rec_num_classes,
+                             eos_id=info.char2id[info.EOS], max_len_labels=6)
+        raw = np.random.default_rng(0).random((2, 16, 64, 4)).astype(np.float32)
+        x = np.asarray(parse_seed_data(raw))
+        # bicubic overshoots on noise (no clamping, like torch interpolate)
+        assert x.shape == (2, 32, 100, 3) and -1.6 < x.min() and x.max() < 1.6
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out["output"]["pred_rec"].shape == (2, 6)
+        assert out["output"]["pred_embed"].shape == (2, 300)
+
+    def test_embedding_regression_loss(self):
+        from tpgsr_tpu.models.seed import embedding_regression_loss
+
+        a = np.random.default_rng(0).standard_normal((4, 300)).astype(np.float32)
+        assert float(embedding_regression_loss(a, a)) < 1e-6
+        assert float(embedding_regression_loss(a, -a)) > 1.9
+
+    def test_seed_eval_step(self):
+        from tests.test_train import B, _batch, _tiny_setup
+        from tpgsr_tpu.charset import AsterInfo
+        from tpgsr_tpu.models.registry import ARCHS
+        from tpgsr_tpu.models.seed import SEEDModelBuilder
+        from tpgsr_tpu.train.step import make_eval_step
+
+        args, config, sr_model, stu_model, state = _tiny_setup(
+            stu_iter=1, sr_share=True, tpg_share=True
+        )
+        info = AsterInfo("all")
+        rec = SEEDModelBuilder(rec_num_classes=info.rec_num_classes,
+                               eos_id=info.char2id[info.EOS], max_len_labels=5)
+        rv = rec.init(jax.random.PRNGKey(0), np.zeros((1, 32, 100, 3), np.float32),
+                      train=False)
+        estep = make_eval_step("tsrn_tl_cascade", ARCHS["tsrn_tl_cascade"], sr_model,
+                               stu_model, args, config, eval_rec=("SEED", rec, rv))
+        sr, outs = estep(state, _batch())
+        assert outs["logits_sr"].shape == (B, 5)

@@ -197,3 +197,48 @@ class TestDatasetsAndBuilders:
         ds = IC15TextSRDataset(str(tmp_path), voc_type="lower")
         hr, lr, label = ds[0]
         assert label == "pgm" and hr.size == (64, 32) and lr.size == (32, 16)
+
+
+class TestRandomReso:
+    def test_laplacian_var(self):
+        from tpgsr_tpu.train.random_reso import laplacian_var
+
+        flat = np.full((16, 32, 3), 0.5, np.float32)
+        assert laplacian_var(flat) == 0.0
+        noisy = np.random.default_rng(0).random((16, 32, 3)).astype(np.float32)
+        assert laplacian_var(noisy) > 100.0
+
+    def test_eval_random_reso_gating(self):
+        import jax
+
+        from tpgsr_tpu.charset import CTC_NUM_CLASSES
+        from tpgsr_tpu.models.crnn import CRNN
+        from tpgsr_tpu.models.tsrn import TSRN_TL
+        from tpgsr_tpu.train.priors import parse_crnn_data
+        from tpgsr_tpu.train.random_reso import eval_random_reso
+
+        stu = CRNN(nclass=CTC_NUM_CLASSES)
+        tv = stu.init(jax.random.PRNGKey(0), np.zeros((1, 32, 100, 1), np.float32),
+                      train=False)
+        crnn_apply = jax.jit(
+            lambda x: stu.apply(tv, parse_crnn_data(x), train=False)
+        )
+        sr_model = TSRN_TL(scale_factor=2, width=64, height=32, stn=False, mask=False,
+                           srb_nums=1, hidden_units=8)
+        lr0 = np.zeros((1, 16, 32, 3), np.float32)
+        pr0 = np.zeros((1, 1, 26, CTC_NUM_CLASSES), np.float32)
+        sv = sr_model.init(jax.random.PRNGKey(1), lr0, pr0, train=False)
+        sr_apply = lambda lr, prior: sr_model.apply(sv, lr, prior, train=False)
+
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((16, 32, 3)).astype(np.float32),
+                rng.random((16, 48, 3)).astype(np.float32)]
+        out, stat = eval_random_reso(imgs, crnn_apply, sr_apply, stu_iter=1,
+                                     conf_threshold=0.0, min_height=8)
+        # threshold 0 would skip SR only if conf > 0; random weights give conf>0
+        # so both skip -> shapes unchanged
+        assert all(s in ("LR", "SR") for s in stat)
+        out2, stat2 = eval_random_reso(imgs, crnn_apply, sr_apply, stu_iter=1,
+                                       conf_threshold=2.0)  # never skip
+        assert stat2 == ["SR", "SR"]
+        assert out2[0].shape == (32, 64, 3) and out2[1].shape == (32, 96, 3)

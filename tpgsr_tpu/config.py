@@ -81,7 +81,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--stu_iter", type=int, default=1)
     p.add_argument("--demo", action="store_true", default=False)
     p.add_argument("--demo_dir", type=str, default="./demo")
-    p.add_argument("--test_model", type=str, default="CRNN", choices=["ASTER", "CRNN", "MORAN"])
+    p.add_argument("--test_model", type=str, default="CRNN", choices=["ASTER", "CRNN", "MORAN", "SEED"])
     p.add_argument("--sr_share", action="store_true", default=False)
     p.add_argument("--tpg_share", action="store_true", default=False)
     p.add_argument("--use_label", action="store_true", default=False)

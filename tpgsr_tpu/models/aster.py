@@ -174,10 +174,14 @@ class AttentionRecognitionHead(nn.Module):
         _, logits = scan(self, state0, y_prevs)
         return logits
 
-    def sample(self, x_btc):
-        """Greedy decode: ([B, max_len] ids, [B, max_len] probs)."""
+    def sample(self, x_btc, state0=None):
+        """Greedy decode: ([B, max_len] ids, [B, max_len] probs).
+
+        ``state0`` lets SEED seed the decoder from its semantic embedding
+        (SEED attention_recognition_head.py:31-32 get_initial_state)."""
         b = x_btc.shape[0]
-        state0 = jnp.zeros((b, self.s_dim), x_btc.dtype)
+        if state0 is None:
+            state0 = jnp.zeros((b, self.s_dim), x_btc.dtype)
         bos = jnp.full((b,), self.num_classes, jnp.int32)
 
         def body(mdl, carry, _):
@@ -195,7 +199,7 @@ class AttentionRecognitionHead(nn.Module):
         _, (ids, scores) = scan(self, (state0, bos), None)
         return ids, scores
 
-    def beam_search(self, x_btc, beam_width: int = 5, eos: int = 0):
+    def beam_search(self, x_btc, beam_width: int = 5, eos: int = 0, state0=None):
         """Vectorized beam search; returns ([B, max_len] ids, scores).
 
         Mirrors attention_recognition_head.py:69-185 (IBM TopKDecoder):
@@ -207,7 +211,10 @@ class AttentionRecognitionHead(nn.Module):
         c = self.num_classes
         # AABBCC inflation (view b,k)
         x_inf = jnp.repeat(x_btc, k, axis=0)  # [b*k, T, D]
-        state0 = jnp.zeros((b * k, self.s_dim), x_btc.dtype)
+        if state0 is None:
+            state0 = jnp.zeros((b * k, self.s_dim), x_btc.dtype)
+        else:
+            state0 = jnp.repeat(state0, k, axis=0)  # tile_times=beam_width
         y0 = jnp.full((b * k,), self.num_classes, jnp.int32)
         seq_scores0 = jnp.where(
             (jnp.arange(b * k) % k) == 0, 0.0, -jnp.inf

@@ -211,6 +211,9 @@ def make_eval_step(
         (parse_aster_data, base.py:844-864); output beam-searched ids.
       * kind='MORAN': input bicubic 32x100 grayscale (parse_moran_data,
         base.py:608-632); output 20-step L2R logits.
+      * kind='SEED': input bicubic 32x100 RGB in [-1,1] (parse_SEED_data,
+        base.py:720-756); output beam-searched ids.  (Dead/NameError path in
+        the reference — functional here.)
     The default (None) evaluates with the frozen teacher CRNN.
     """
     t = config.TRAIN
@@ -231,6 +234,11 @@ def make_eval_step(
         if rec_kind == "ASTER":
             x = interpolate_bicubic(img[..., :3], (32, 128)) * 2.0 - 1.0
             out = rec_model.apply(rec_vars, x, train=False)
+            return out["output"]["pred_rec"]  # [B, max_len] ids
+        if rec_kind == "SEED":
+            from tpgsr_tpu.models.seed import parse_seed_data
+
+            out = rec_model.apply(rec_vars, parse_seed_data(img), train=False)
             return out["output"]["pred_rec"]  # [B, max_len] ids
         if rec_kind == "MORAN":
             x = parse_crnn_data(img, 100)  # same bicubic 32x100 + gray

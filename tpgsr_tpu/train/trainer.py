@@ -172,6 +172,19 @@ class TextSR:
                 x = np.zeros((1, 32, 128, 3), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
             return ("ASTER", model, variables), (lambda ids: decode_aster_ids(ids, info))
+        if kind == "SEED":
+            from tpgsr_tpu.charset import AsterInfo
+            from tpgsr_tpu.models.aster import decode_aster_ids
+            from tpgsr_tpu.models.seed import SEEDModelBuilder
+
+            info = AsterInfo(self.config.TRAIN.voc_type)
+            model = SEEDModelBuilder(
+                rec_num_classes=info.rec_num_classes,
+                eos_id=info.char2id[info.EOS], max_len_labels=info.max_len,
+            )
+            x = np.zeros((1, 32, 100, 3), np.float32)
+            variables = model.init(jax.random.PRNGKey(7), x, train=False)
+            return ("SEED", model, variables), (lambda ids: decode_aster_ids(ids, info))
         if kind == "MORAN":
             from tpgsr_tpu.models.moran import MORAN, decode_moran_ids
 
@@ -300,6 +313,9 @@ class TextSR:
         loader = DataLoader(ds, int(t.batch_size), self._collate(train=False),
                             shuffle=False, drop_last=False)
         state = self._state or self.init_state()
+        # --test picks its recognizer via --rec (super_resolution.py:1360-1370)
+        rec_map = {"aster": "ASTER", "moran": "MORAN", "crnn": "CRNN"}
+        self.args["test_model"] = rec_map.get(self.args.get("rec", "crnn"), "CRNN")
         self._build_steps()
         t0 = time.time()
         md = evaluate(self._eval_step, state, loader,
