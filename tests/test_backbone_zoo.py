@@ -18,14 +18,12 @@ def test_arch_forward(arch, rng):
     c = spec.in_channels
     x = jnp.asarray(rng.random((2, 8, 32, c), dtype=np.float32))
     prior = jnp.asarray(rng.random((2, 1, 26, 37), dtype=np.float32))
-    if not spec.trainable:
-        y = model(x)
-        assert y.shape == (2, 16, 64, c)
-        return
     kwargs = {"train": False}
     inputs = (x, prior) if spec.uses_prior else (x,)
     variables = model.init(jax.random.PRNGKey(0), *inputs, **kwargs)
     y = model.apply(variables, *inputs, **kwargs)
+    if isinstance(y, tuple):  # tsrn_c2f / sem_tsrn return (sr, aux)
+        y = y[0]
     assert y.shape == (2, 16, 64, c), f"{arch}: {y.shape}"
     assert np.isfinite(np.asarray(y)).all(), arch
 

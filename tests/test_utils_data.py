@@ -242,3 +242,41 @@ class TestRandomReso:
                                        conf_threshold=2.0)  # never skip
         assert stat2 == ["SR", "SR"]
         assert out2[0].shape == (32, 64, 3) and out2[1].shape == (32, 96, 3)
+
+
+class TestVGGPerceptual:
+    def test_generator_loss(self):
+        import jax
+
+        from tpgsr_tpu.models.vgg import VGG16Features, generator_loss, tv_loss
+
+        x = np.random.default_rng(0).random((1, 32, 64, 3)).astype(np.float32)
+        net = VGG16Features()
+        v = net.init(jax.random.PRNGKey(0), x)
+        feats = net.apply(v, x)
+        assert feats.shape == (1, 2, 4, 512)  # 32/16, 64/16 after 4 pools
+        l_same = float(generator_loss(v, x, x))
+        y = x + 0.1
+        l_diff = float(generator_loss(v, y, x))
+        assert l_diff > l_same >= 0.0
+        assert float(tv_loss(np.ones((1, 8, 8, 3), np.float32))) == 0.0
+
+    def test_import_vgg16_layout(self):
+        """Importer consumes a torchvision-shaped state_dict."""
+        import jax
+
+        from tpgsr_tpu.models.vgg import VGG16Features, import_vgg16_features
+
+        rng = np.random.default_rng(0)
+        cfg = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+               (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+               (512, 512), (512, 512)]
+        idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        sd = {}
+        for n, (cin, cout) in zip(idx, cfg):
+            sd[f"features.{n}.weight"] = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.02
+            sd[f"features.{n}.bias"] = np.zeros(cout, np.float32)
+        variables = import_vgg16_features(sd)
+        x = np.zeros((1, 32, 32, 3), np.float32)
+        out = VGG16Features().apply(variables, x)
+        assert out.shape == (1, 2, 2, 512)

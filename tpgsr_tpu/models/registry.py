@@ -55,7 +55,7 @@ ARCHS = {
     "tsrn_tl": ArchSpec(_tsrn_tl, "image", 4, True),
     "tsrn_tl_wmask": ArchSpec(_tsrn_tl, "image", 4, True),
     "tsrn_tl_cascade": ArchSpec(_tsrn_tl, "image", 4, True),
-    "bicubic": ArchSpec(lambda a, c: BICUBIC(c["scale_factor"]), "mse", 4, False, trainable=False),
+    "bicubic": ArchSpec(lambda a, c: BICUBIC(scale_factor=c["scale_factor"]), "mse", 4, False, trainable=False),
     "srcnn": ArchSpec(
         lambda a, c: SRCNN(c["scale_factor"], 3, a["STN"], c["height"], c["width"]), "mse", 3, False
     ),

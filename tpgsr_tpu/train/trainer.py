@@ -88,13 +88,39 @@ class TextSR:
             mask=bool(self.args.get("mask", False)),
             train=train,
         )
-        fn = COLLATES[_collate_kind(self.arch, train)]
+        kind = _collate_kind(self.arch, train)
+        if self.args.get("syn"):
+            kind = "syn_random_reso" if self.args.get("random_reso") else "syn"
+        elif self.arch == "tsrn_c2f":
+            kind = "c2f_real"
+        elif self.arch == "sem_tsrn":
+            kind = "W2V_real"
+        fn = COLLATES[kind]
         return functools.partial(fn, cfg=cfg)
+
+    def _dataset_cls(self, test: bool):
+        """Per-flag dataset selection (interfaces/base.py:39-235):
+        --syn -> single-image synthetic LMDB; --mixed -> HR-as-LR mix;
+        --ic15sr -> IC15 TextSR PGM folders; default TextZoom pairs."""
+        from tpgsr_tpu.data.datasets import (
+            IC15TextSRDataset,
+            MixedLMDB,
+            SingleImageLMDB,
+        )
+
+        if self.args.get("syn"):
+            return lambda d, **kw: SingleImageLMDB(d, **{k: v for k, v in kw.items() if k != "test"})
+        if self.args.get("mixed"):
+            return MixedLMDB
+        if self.args.get("ic15sr"):
+            return IC15TextSRDataset
+        return TextZoomDataset
 
     def get_train_data(self) -> DataLoader:
         t = self.config.TRAIN
         dirs = t.train_data_dir
-        sets = [TextZoomDataset(d, voc_type=t.voc_type, max_len=t.max_len) for d in dirs]
+        cls = self._dataset_cls(test=False)
+        sets = [cls(d, voc_type=t.voc_type, max_len=t.max_len) for d in dirs]
         ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
         return DataLoader(
             ds, int(t.batch_size), self._collate(train=True),
@@ -146,6 +172,19 @@ class TextSR:
         resume = self.args.get("resume") or t.get("resume")
         if resume:
             state = ckpt.restore_checkpoint(resume, state)
+        if os.environ.get("TPGSR_COST_REPORT"):
+            # ptflops-style MAC/param print at init (base.py:372-381,638-643);
+            # gated because the extra compile is slow on a tunneled TPU
+            from tpgsr_tpu.utils.cost import model_cost_report
+
+            v = {"params": state.sr_params[0], "batch_stats": state.sr_stats[0]}
+            model_cost_report(self.sr_model, v, sr_inputs, f"SR:{self.arch}")
+            if self.is_tl:
+                tv = {"params": state.teacher_params, "batch_stats": state.teacher_stats}
+                model_cost_report(
+                    self.stu_model, tv,
+                    (np.zeros((1, 32, 100, 1), np.float32),), "TP:CRNN",
+                )
         self._state = shard_params(self.mesh, state)
         return self._state
 
