@@ -183,3 +183,22 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bf16_train_step_close_to_fp32():
+    """compute_dtype='bf16' runs the models in bfloat16 with fp32 losses."""
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    config.TRAIN.compute_dtype = "bf16"
+    spec = ARCHS["tsrn_tl_cascade"]
+    step16 = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args,
+                             config, donate=False)
+    config32 = load_config()
+    config32.TRAIN.width, config32.TRAIN.height = W * 2, H * 2
+    step32 = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args,
+                             config32, donate=False)
+    batch = _batch()
+    _, m16 = step16(state, batch)
+    _, m32 = step32(state, batch)
+    l16, l32 = float(np.asarray(m16["loss_total"])), float(np.asarray(m32["loss_total"]))
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.05  # bf16 rounding only

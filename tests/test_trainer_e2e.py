@@ -70,3 +70,41 @@ def test_textsr_go_test(lmdb_dir, tmp_path, monkeypatch):
     )
     mission = TextSR(config, args)
     mission.train()  # go_test: single eval pass, no training
+
+
+def test_textsr_test_path(lmdb_dir, tmp_path, monkeypatch):
+    """--test standalone benchmark (super_resolution.py:1349-1433)."""
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    config.TEST.test_data_dir = lmdb_dir
+    args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8,
+                        vis_dir="testpath", test=True, rec="crnn")
+    md = TextSR(config, args).test()
+    assert {"accuracy", "psnr_avg", "ssim_avg", "fps"} <= set(md)
+    assert md["fps"] > 0
+
+
+def test_textsr_demo_path(lmdb_dir, tmp_path, monkeypatch):
+    """--demo folder inference (super_resolution.py:1435-1523)."""
+    from tests.fixtures import render_word
+
+    monkeypatch.chdir(tmp_path)
+    demo_dir = tmp_path / "demo_imgs"
+    demo_dir.mkdir()
+    for w in ("abc", "xyz"):
+        render_word(w, (80, 24)).save(demo_dir / f"{w}.png")
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="tsrn_tl_cascade", mask=True, sr_share=True,
+                        tpg_share=True, stu_iter=1, srb=2, hd_u=8, batch_size=8,
+                        vis_dir="demopath", demo=True, demo_dir=str(demo_dir))
+    TextSR(config, args).demo()

@@ -98,12 +98,18 @@ def make_train_step(
 
     is_cascade = arch in ABLATION_SET
     is_tl_simple = arch in TL_SIMPLE
+    # TRAIN.compute_dtype: 'bf16' runs the models in bfloat16 (params stay
+    # fp32; layers cast weights to the activation dtype) with fp32 losses
+    compute_dtype = (
+        jnp.bfloat16 if str(t.get("compute_dtype", "fp32")) == "bf16" else jnp.float32
+    )
 
     def loss_fn(trainable, state: TrainState, batch) -> Tuple[jax.Array, Dict]:
         sr_params, stu_params = trainable["sr"], trainable["stu"]
         sr_stats = list(state.sr_stats)
         stu_stats = list(state.stu_stats)
-        hr, lr = batch["hr"], batch["lr"]
+        hr = batch["hr"].astype(compute_dtype)
+        lr = batch["lr"].astype(compute_dtype)
         metrics: Dict[str, jax.Array] = {}
 
         if is_cascade or is_tl_simple:
@@ -112,7 +118,9 @@ def make_train_step(
                 stu_model, state.teacher_params, state.teacher_stats,
                 (parse_crnn_data(hr, cw),), train=False,
             )
-            label_vecs_hr = jax.nn.softmax(jax.lax.stop_gradient(teach_logits), -1)
+            label_vecs_hr = jax.nn.softmax(
+                jax.lax.stop_gradient(teach_logits).astype(jnp.float32), -1
+            )
 
             loss_img = 0.0
             loss_recog = 0.0
@@ -124,6 +132,7 @@ def make_train_step(
                 stu_logits, stu_stats[tp] = _apply(
                     stu_model, stu_params[tp], stu_stats[tp], (stu_in,), train=True
                 )
+                stu_logits = stu_logits.astype(jnp.float32)  # fp32 CTC/softmax
                 label_vecs = jax.nn.softmax(stu_logits, -1)
 
                 if is_cascade and use_label:
@@ -142,12 +151,14 @@ def make_train_step(
                     # remat each SR stage: cascade grads flow end-to-end
                     sr_apply = jax.checkpoint(sr_apply, static_argnums=(3,))
                 sr_out, sr_stats[pick] = sr_apply(
-                    sr_params[pick], sr_stats[pick], (lr, prior), True
+                    sr_params[pick], sr_stats[pick], (lr, prior.astype(compute_dtype)), True
                 )
-                loss_img_each = crit(sr_out, hr) * 100.0
+                loss_img_each = crit(sr_out.astype(jnp.float32), hr.astype(jnp.float32)) * 100.0
                 loss_img = loss_img + loss_img_each
                 if use_ssim:
-                    loss_img = loss_img + (1.0 - ssim(sr_out, hr)) * 10.0
+                    loss_img = loss_img + (
+                        1.0 - ssim(sr_out.astype(jnp.float32), hr.astype(jnp.float32))
+                    ) * 10.0
                 cascade_images = sr_out
                 metrics[f"loss_img_{i}"] = loss_img_each
 
@@ -158,7 +169,9 @@ def make_train_step(
             sr_out, sr_stats[0] = _apply(
                 sr_model, sr_params[0], sr_stats[0], (lr[..., :in_ch],), train=True
             )
-            loss = crit(sr_out, hr[..., :in_ch]) * 100.0
+            loss = crit(
+                sr_out.astype(jnp.float32), hr[..., :in_ch].astype(jnp.float32)
+            ) * 100.0
             metrics["loss_img"] = loss
             metrics["loss_distill"] = jnp.zeros(())
 
