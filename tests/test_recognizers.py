@@ -200,3 +200,94 @@ class TestSeed:
                                stu_model, args, config, eval_rec=("SEED", rec, rv))
         sr, outs = estep(state, _batch())
         assert outs["logits_sr"].shape == (B, 5)
+
+
+class TestLongTailComponents:
+    def test_attention_label_converter(self):
+        from tpgsr_tpu.charset import AttentionLabelConverter
+
+        c = AttentionLabelConverter()
+        ids, lengths = c.encode(["ab", "xyz"])
+        assert lengths.tolist() == [3, 4]  # +1 for '$'
+        assert c.decode(ids, lengths) == ["ab", "xyz"]
+
+    def test_sequence_cross_entropy_loss(self):
+        import jax
+
+        from tpgsr_tpu.models.aster import sequence_cross_entropy_loss
+
+        logits = np.zeros((2, 4, 5), np.float32)
+        logits[:, :, 2] = 10.0  # confident class 2
+        targets = np.full((2, 4), 2, np.int32)
+        lengths = np.array([4, 2], np.int32)
+        l_good = float(sequence_cross_entropy_loss(logits, targets, lengths))
+        targets_bad = np.full((2, 4), 1, np.int32)
+        l_bad = float(sequence_cross_entropy_loss(logits, targets_bad, lengths))
+        assert l_good < 0.01 < l_bad
+
+    def test_frac_pickup_preserves_mass(self):
+        import jax
+
+        from tpgsr_tpu.models.moran import frac_pickup
+
+        alpha = np.random.default_rng(0).random((2, 1, 1, 25)).astype(np.float32)
+        out = np.asarray(frac_pickup(jax.random.PRNGKey(3), alpha))
+        assert out.shape == alpha.shape
+        # interpolation moves at most two adjacent columns
+        assert np.abs(out - alpha).sum() < alpha.sum()
+
+    def test_random_sequential_sampler(self):
+        from tpgsr_tpu.data.loader import RandomSequentialSampler
+
+        class DS:
+            def __len__(self):
+                return 20
+
+        s = RandomSequentialSampler(DS(), batch_size=4, seed=0)
+        idx = list(iter(s))
+        assert len(idx) == 20
+        for i in range(0, 20, 4):
+            chunk = idx[i : i + 4]
+            assert chunk == list(range(chunk[0], chunk[0] + len(chunk)))
+
+    def test_w2v_dataset(self, tmp_path):
+        from tests.fixtures import make_textzoom_lmdb
+        from tpgsr_tpu.data.datasets import TextZoomWithW2V
+
+        make_textzoom_lmdb(str(tmp_path / "tz"), n=2)
+        ds = TextZoomWithW2V(str(tmp_path / "tz"), voc_type="lower")
+        hr, lr, label, w2v = ds[0]
+        assert w2v.shape == (300,)
+
+    def test_parse_adapters(self):
+        from tpgsr_tpu.train.priors import parse_aster_data, parse_moran_data
+
+        x = np.random.default_rng(0).random((2, 16, 64, 4)).astype(np.float32)
+        a = np.asarray(parse_aster_data(x))
+        assert a.shape == (2, 32, 128, 3)
+        m = np.asarray(parse_moran_data(x))
+        assert m.shape == (2, 32, 100, 1)
+
+    @pytest.mark.parametrize("cfg", [
+        {"transformation": "TPS"},
+        {"feature_extraction": "VGG"},
+        {"sequence_modeling": "BiLSTM"},
+        {"prediction": "Attn"},
+    ])
+    def test_opt_full_pipeline(self, cfg):
+        from tpgsr_tpu.models.opt_tpg import OPTModelFull
+
+        m = OPTModelFull(nclass=37, **cfg)
+        x = np.random.default_rng(0).random((2, 32, 100, 1)).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = np.asarray(m.apply(v, x, train=False))
+        assert out.shape[-1] == 37 and np.isfinite(out).all()
+
+    def test_srgan_discriminator(self):
+        from tpgsr_tpu.models.srresnet import Discriminator
+
+        d = Discriminator()
+        x = np.random.default_rng(0).random((2, 32, 128, 3)).astype(np.float32)
+        v = d.init(jax.random.PRNGKey(0), x, train=False)
+        out = np.asarray(d.apply(v, x, train=False))
+        assert out.shape == (2,) and (0 <= out).all() and (out <= 1).all()

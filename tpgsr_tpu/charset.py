@@ -145,3 +145,40 @@ def encode_ctc_padded(
         batch[b, : len(ids)] = ids
         lengths[b] = len(ids)
     return batch, lengths
+
+
+class AttentionLabelConverter:
+    """str <-> label ids for the attention decoders ('$'-terminated).
+
+    Mirrors utils/utils_moran.py:6-150 ``strLabelConverterForAttention``
+    with the '0:1:...:z:$' separated alphabet: encode returns a flat id
+    array + per-sample lengths (each word gets a trailing '$'); decode cuts
+    at '$'.
+    """
+
+    def __init__(self, alphabet: str = "0123456789abcdefghijklmnopqrstuvwxyz$", sep: str = ":"):
+        if sep in alphabet:
+            self.alphabet = alphabet.split(sep)
+        else:
+            self.alphabet = list(alphabet)
+        self.dict = {ch: i for i, ch in enumerate(self.alphabet)}
+
+    def encode(self, text) -> "Tuple[np.ndarray, np.ndarray]":
+        if isinstance(text, str):
+            text = [text]
+        flat, lengths = [], []
+        for word in text:
+            word = word.lower() + "$"
+            ids = [self.dict[ch] for ch in word if ch in self.dict]
+            flat.extend(ids)
+            lengths.append(len(ids))
+        return np.asarray(flat, np.int64), np.asarray(lengths, np.int64)
+
+    def decode(self, ids, lengths) -> "List[str]":
+        out, start = [], 0
+        for n in np.asarray(lengths):
+            chars = [self.alphabet[int(i)] for i in np.asarray(ids)[start : start + int(n)]]
+            word = "".join(chars)
+            out.append(word.split("$")[0])
+            start += int(n)
+        return out

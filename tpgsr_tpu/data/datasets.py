@@ -242,3 +242,15 @@ class IC15TextSRDataset:
         img_hr = Image.open(os.path.join(self.hr_dir, name + ".pgm")).convert("RGB")
         img_lr = Image.open(os.path.join(self.lr_dir, name + ".pgm")).convert("RGB")
         return img_hr, img_lr, str_filt(label, self.voc_type)
+
+
+class TextZoomWithW2V(TextZoomDataset):
+    """== ``lmdbDatasetWithW2V_real`` (dataset.py:558-611).  The reference's
+    FastText hook is effectively disabled (import commented out); items carry
+    a zero word-vector placeholder of the documented width."""
+
+    w2v_dim = 300
+
+    def __getitem__(self, index: int):
+        img_hr, img_lr, label = super().__getitem__(index)
+        return img_hr, img_lr, label, np.zeros(self.w2v_dim, np.float32)

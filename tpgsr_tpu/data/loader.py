@@ -108,3 +108,31 @@ def pad_batch(batch: Dict, to_size: int) -> Dict:
         out[k] = v
     out["_valid"] = n if n is not None else to_size
     return out
+
+
+class RandomSequentialSampler:
+    """Random batch-aligned start offsets, sequential within a batch
+    (dataset/dataset.py:875-898 ``randomSequentialSampler``; unused in the
+    reference's main path, provided for parity)."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0):
+        self.num_samples = len(dataset)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __iter__(self):
+        n_batch = self.num_samples // self.batch_size
+        tail = self.num_samples % self.batch_size
+        index = np.zeros(self.num_samples, np.int64)
+        for i in range(n_batch):
+            start = int(self.rng.integers(0, self.num_samples - self.batch_size + 1))
+            index[i * self.batch_size : (i + 1) * self.batch_size] = (
+                start + np.arange(self.batch_size)
+            )
+        if tail:
+            start = int(self.rng.integers(0, self.num_samples - self.batch_size + 1))
+            index[n_batch * self.batch_size :] = start + np.arange(tail)
+        return iter(index.tolist())

@@ -326,3 +326,18 @@ def decode_aster_ids(ids: np.ndarray, aster_info) -> list:
         s = "".join(chars)
         out.append("".join(ch for ch in s if ch.isalnum()).lower())
     return out
+
+
+def sequence_cross_entropy_loss(
+    logits_blc: jax.Array, targets_bl: jax.Array, lengths_b: jax.Array
+) -> jax.Array:
+    """ASTER's training criterion (recognizer/sequenceCrossEntropyLoss.py):
+    masked per-step cross entropy, summed then divided by batch size
+    (sample_normalize=True)."""
+    b, l, c = logits_blc.shape
+    logp = jax.nn.log_softmax(logits_blc, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, targets_bl[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    mask = (jnp.arange(l)[None, :] < lengths_b[:, None]).astype(logp.dtype)
+    return -jnp.sum(picked * mask) / b

@@ -14,8 +14,9 @@ Parity targets (model/moran/):
   * ``Attention``/``AttentionCell``: asrn_res.py:27-156 — additive attention
     over T=25 frames, GRU cell over [context, char_embedding], greedy decode
     feeding argmax+1 back as the next embedding index.
-  * ``fracPickup`` (asrn_res.py:52, train-only): grid jitter — omitted, the
-    eval path never calls it.
+  * ``fracPickup`` (asrn_res.py:52, train-only): attention-grid jitter —
+    see ``frac_pickup`` below (explicit PRNG key); the frozen eval path
+    never calls it.
 
 Decode protocol (utils/utils_moran.py): alphabet
 '0:1:...:z:$' — 36 chars + '$' as EOS; eval runs ``max_iter=20`` steps
@@ -275,3 +276,35 @@ def decode_moran_ids(logits_bln: np.ndarray) -> list:
             s.append(ch)
         out.append("".join(s))
     return out
+
+
+def frac_pickup(key, alpha_b1w: "jax.Array"):
+    """Training-time attention jitter (model/moran/fracPickup.py): swap one
+    random adjacent pair of attention columns by fractional interpolation.
+    Eval never calls this (the TPGSR MORAN is frozen); provided with an
+    explicit PRNG key for training parity.
+
+    alpha: [B, 1, 1, W] attention weights -> same shape, resampled on a grid
+    where one adjacent (idx-1, idx) pair is blended by beta ~ U(0, 1/4).
+    """
+    b = alpha_b1w.shape[0]
+    w = alpha_b1w.shape[-1]
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (), 0, w)
+    beta = jax.random.uniform(k2, ()) / 4.0
+    base = jnp.arange(w, dtype=jnp.float32) * 2.0 / (w - 1) - 1.0
+    v_prev = base[jnp.clip(idx - 1, 0, w - 1)]
+    v_cur = base[idx]
+    val0 = beta * v_cur + (1 - beta) * v_prev
+    val1 = beta * v_prev + (1 - beta) * v_cur
+    inbounds = (idx > 0) & (idx < w - 1)
+    grid_w = base
+    grid_w = jnp.where((jnp.arange(w) == idx - 1) & inbounds, val0, grid_w)
+    grid_w = jnp.where((jnp.arange(w) == idx) & inbounds, val1, grid_w)
+    grid = jnp.stack([grid_w, jnp.zeros_like(grid_w)], -1)[None, None]  # [1,1,W,2]
+    grid = jnp.broadcast_to(grid, (b, 1, w, 2))
+    from tpgsr_tpu.ops.grid_sample import grid_sample
+
+    x = jnp.reshape(alpha_b1w, (b, 1, w, 1))
+    out = grid_sample(x, grid, align_corners=True)
+    return jnp.reshape(out, alpha_b1w.shape)

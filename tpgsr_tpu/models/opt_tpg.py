@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpgsr_tpu.models.layers import BatchNorm, TorchConv
+from tpgsr_tpu.models.layers import BatchNorm, TorchConv, TorchLinear
 
 
 class BasicBlock(nn.Module):
@@ -103,6 +103,186 @@ class OPTModel(nn.Module):
         # AdaptiveAvgPool2d((None, 1)) after permute [b,c,h,w]->[b,w,c,h]:
         # average over the (height) axis -> [B, W', C]
         feat = jnp.mean(feat, axis=1)
+        logits = nn.Dense(
+            self.nclass,
+            kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            name="Prediction",
+        )(feat)
+        return jnp.transpose(logits, (1, 0, 2))  # [T, B, C]
+
+
+class VGGFeatureExtractor(nn.Module):
+    """clova VGG extractor (modules/feature_extraction.py:5-28): the CRNN
+    conv trunk variant used by FeatureExtraction='VGG'."""
+
+    output_channel: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        oc = [self.output_channel // 8, self.output_channel // 4,
+              self.output_channel // 2, self.output_channel]
+        x = nn.relu(TorchConv(oc[0], (3, 3), padding=(1, 1), name="conv0")(x))
+        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = nn.relu(TorchConv(oc[1], (3, 3), padding=(1, 1), name="conv1")(x))
+        x = nn.max_pool(x, (2, 2), (2, 2))
+        x = nn.relu(TorchConv(oc[2], (3, 3), padding=(1, 1), name="conv2")(x))
+        x = nn.relu(TorchConv(oc[2], (3, 3), padding=(1, 1), name="conv3")(x))
+        x = nn.max_pool(x, (2, 2), (2, 1), padding=((0, 0), (0, 0)))
+        x = TorchConv(oc[3], (3, 3), padding=(1, 1), use_bias=False, name="conv4")(x)
+        x = BatchNorm(name="bn4")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = TorchConv(oc[3], (3, 3), padding=(1, 1), use_bias=False, name="conv5")(x)
+        x = BatchNorm(name="bn5")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), (2, 1), padding=((0, 0), (0, 0)))
+        return nn.relu(TorchConv(oc[3], (2, 2), name="conv6")(x))
+
+
+class OPTAttention(nn.Module):
+    """clova attention predictor (modules/prediction.py:6-58): additive
+    attention + LSTMCell over [context, one-hot(prev char)]; greedy decode."""
+
+    num_classes: int
+    hidden_size: int = 256
+    max_length: int = 25
+
+    @nn.compact
+    def __call__(self, batch_h_btc, text=None, is_train: bool = False):
+        from tpgsr_tpu.models.layers import torch_uniform_init
+
+        b, t, c = batch_h_btc.shape
+        num_steps = self.max_length + 1
+        i2h = TorchLinear(self.hidden_size, use_bias=False, name="i2h")
+        h2h = TorchLinear(self.hidden_size, name="h2h")
+        score = TorchLinear(1, use_bias=False, name="score")
+        generator = TorchLinear(self.num_classes, name="generator")
+        uni = torch_uniform_init(self.hidden_size)
+        in_dim = c + self.num_classes
+        w_ih = self.param("lstm_w_ih", uni, (4 * self.hidden_size, in_dim))
+        w_hh = self.param("lstm_w_hh", uni, (4 * self.hidden_size, self.hidden_size))
+        b_ih = self.param("lstm_b_ih", uni, (4 * self.hidden_size,))
+        b_hh = self.param("lstm_b_hh", uni, (4 * self.hidden_size,))
+
+        feats_proj = i2h(batch_h_btc)
+
+        def cell(hidden, cstate, char_onehot):
+            e = score(jnp.tanh(feats_proj + h2h(hidden)[:, None, :]))[..., 0]
+            alpha = jax.nn.softmax(e, axis=1)
+            context = jnp.einsum("bt,btc->bc", alpha, batch_h_btc)
+            xin = jnp.concatenate([context, char_onehot], -1)
+            gi = xin @ w_ih.T + b_ih
+            gh = hidden @ w_hh.T + b_hh
+            i_, f_, g_, o_ = jnp.split(gi + gh, 4, -1)
+            i_ = jax.nn.sigmoid(i_)
+            f_ = jax.nn.sigmoid(f_)
+            g_ = jnp.tanh(g_)
+            o_ = jax.nn.sigmoid(o_)
+            c_new = f_ * cstate + i_ * g_
+            h_new = o_ * jnp.tanh(c_new)
+            return h_new, c_new
+
+        h0 = jnp.zeros((b, self.hidden_size))
+        c0 = jnp.zeros((b, self.hidden_size))
+        if is_train and text is not None:
+            outs = []
+            h, cst = h0, c0
+            for i in range(num_steps):
+                onehot = jax.nn.one_hot(text[:, i], self.num_classes)
+                h, cst = cell(h, cst, onehot)
+                outs.append(h)
+            return generator(jnp.stack(outs, 1))
+        # greedy
+        outs = []
+        h, cst = h0, c0
+        tgt = jnp.zeros((b,), jnp.int32)  # [GO]
+        for i in range(num_steps):
+            onehot = jax.nn.one_hot(tgt, self.num_classes)
+            h, cst = cell(h, cst, onehot)
+            lg = generator(h)
+            outs.append(lg)
+            tgt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return jnp.stack(outs, 1)
+
+
+class TPSTransformation(nn.Module):
+    """RARE/NAVER TPS STN (modules/transformation.py:7-60):
+    LocalizationNetwork (4 conv-BN-ReLU stages + global pool + FC256 + FC to
+    F*2 fiducials, zero weights / border-grid bias) followed by a TPS warp
+    to the same size — expressed through our precomputed-kernel TPS."""
+
+    num_fiducial: int = 20
+    i_size: tuple = (32, 100)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import numpy as np
+
+        from tpgsr_tpu.models.stn import TPSSpatialTransformer
+
+        v = x
+        for i, ch in enumerate((64, 128, 256, 512)):
+            v = TorchConv(ch, (3, 3), padding=(1, 1), use_bias=False, name=f"conv{i}")(v)
+            v = BatchNorm(name=f"bn{i}")(v, use_running_average=not train)
+            v = nn.relu(v)
+            if i < 3:
+                v = nn.max_pool(v, (2, 2), (2, 2))
+        v = jnp.mean(v, axis=(1, 2))  # adaptive avg pool to 1x1
+        v = nn.relu(TorchLinear(256, name="fc1")(v))
+        f = self.num_fiducial
+        # fc2: zero weights, bias = border fiducial grid (transformation.py:59-76)
+        half = f // 2
+        ctrl_x = np.linspace(0.05, 0.95, half)
+        top = np.stack([ctrl_x, np.full(half, 0.05)], 1)
+        bot = np.stack([ctrl_x, np.full(half, 0.95)], 1)
+        bias_init = np.concatenate([top, bot], 0).reshape(-1).astype(np.float32)
+        w2 = self.param("fc2_kernel", nn.initializers.zeros, (256, f * 2))
+        b2 = self.param("fc2_bias", lambda k, s: jnp.asarray(bias_init), (f * 2,))
+        pts = (v @ w2 + b2).reshape(-1, f, 2)
+        tps = TPSSpatialTransformer(self.i_size, num_control_points=f, margins=(0.05, 0.05))
+        out, _ = tps(x, pts)
+        return out
+
+
+class OPTModelFull(nn.Module):
+    """The fully configurable clova pipeline (model/crnn/model.py:25-95):
+    Trans in {None, TPS}, Feat in {VGG, ResNet}, Seq in {None, BiLSTM},
+    Pred in {CTC, Attn}.  TPGSR's --tpg=OPT uses None-ResNet-None-CTC
+    (= OPTModel); the other stages are provided for the same ablations."""
+
+    nclass: int = 37
+    transformation: str = "None"
+    feature_extraction: str = "ResNet"
+    sequence_modeling: str = "None"
+    prediction: str = "CTC"
+    output_channel: int = 512
+    hidden_size: int = 256
+
+    @nn.compact
+    def __call__(self, x, text=None, train: bool = False):
+        if self.transformation == "TPS":
+            x = TPSTransformation(
+                i_size=(x.shape[1], x.shape[2]), name="Transformation"
+            )(x, train=train)
+        if self.feature_extraction == "VGG":
+            feat = VGGFeatureExtractor(self.output_channel, name="FeatureExtraction")(
+                x, train=train
+            )
+        else:
+            feat = ResNetFAN(self.output_channel, name="FeatureExtraction")(x, train=train)
+        feat = jnp.mean(feat, axis=1)  # AdaptiveAvgPool over height -> [B, T, C]
+        if self.sequence_modeling == "BiLSTM":
+            from tpgsr_tpu.models.layers import BiLSTM
+
+            feat = TorchLinear(self.hidden_size, name="seq0_embedding")(
+                BiLSTM(self.hidden_size, name="seq0")(feat)
+            )
+            feat = TorchLinear(self.hidden_size, name="seq1_embedding")(
+                BiLSTM(self.hidden_size, name="seq1")(feat)
+            )
+        if self.prediction == "Attn":
+            return OPTAttention(self.nclass, self.hidden_size, name="Prediction")(
+                feat, text, is_train=train and text is not None
+            )
         logits = nn.Dense(
             self.nclass,
             kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),

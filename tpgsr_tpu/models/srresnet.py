@@ -128,3 +128,23 @@ class SRResNet_TL(nn.Module):
             b = _UpsamplePReLU(64, 2, name=f"block8_up{j}")(b)
         b = TorchConv(in_planes, (9, 9), padding=(4, 4), name="block8_conv")(b)
         return jnp.tanh(b)
+
+
+class Discriminator(nn.Module):
+    """SRGAN discriminator (model/srresnet.py:237-280; unused in the main
+    TPGSR path, provided for the adversarial ablations)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        cfg = [(64, 1, False), (64, 2, True), (128, 1, True), (128, 2, True),
+               (256, 1, True), (256, 2, True), (512, 1, True), (512, 2, True)]
+        for i, (ch, s, bn) in enumerate(cfg):
+            x = TorchConv(ch, (3, 3), (s, s), (1, 1), name=f"conv{i}")(x)
+            if bn:
+                x = BatchNorm(name=f"bn{i}")(x, use_running_average=not train)
+            x = lrelu(x)
+        x = jnp.mean(x, axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
+        x = lrelu(TorchConv(1024, (1, 1), name="fc1")(x))
+        x = TorchConv(1, (1, 1), name="fc2")(x)
+        return jax.nn.sigmoid(x[:, 0, 0, 0])

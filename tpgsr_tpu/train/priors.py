@@ -36,3 +36,17 @@ def prior_dropout_first_quarter(prior_b1tc: jax.Array) -> jax.Array:
     b = prior_b1tc.shape[0]
     keep = jnp.ones((b,), prior_b1tc.dtype).at[: b // 4].set(0.0)
     return prior_b1tc * keep[:, None, None, None]
+
+
+def parse_aster_data(images_nhwc: jax.Array) -> jax.Array:
+    """[B,H,W,C>=3] in [0,1] -> [B,32,128,3] in [-1,1]
+    (interfaces/base.py:844-864)."""
+    x = interpolate_bicubic(images_nhwc[..., :3], (32, 128))
+    return x * 2.0 - 1.0
+
+
+def parse_moran_data(images_nhwc: jax.Array, width: int = 100) -> jax.Array:
+    """[B,H,W,C>=3] in [0,1] -> [B,32,width,1] grayscale
+    (interfaces/base.py:608-632: same resize+gray as parse_crnn_data; the
+    '0'*20 dummy text/length tensors live in the MORAN decode protocol)."""
+    return parse_crnn_data(images_nhwc, width)

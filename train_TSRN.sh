@@ -1,0 +1,1 @@
+python3 main.py --arch="tsrn" --batch_size=48 --STN --mask --use_distill --gradient --sr_share --stu_iter=1 --vis_dir='vis_TSRN'
