@@ -118,3 +118,36 @@ def test_pallas_bigru_interpret_matches(rng):
     ref = np.asarray(bigru(x, fw, bw))
     got = np.asarray(_bigru_pallas_impl(x, fw, bw, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_bigru_nhwc_vertical_matches_transpose_path(rng):
+    from tpgsr_tpu.ops.rnn import bigru_fused, bigru_nhwc_vertical
+
+    B, H, W, C, Hd = 2, 6, 10, 8, 4
+    x = rng.random((B, H, W, C), dtype=np.float32)
+    mk = lambda: {
+        "w_ih": rng.standard_normal((3 * Hd, C)).astype(np.float32) * 0.2,
+        "w_hh": rng.standard_normal((3 * Hd, Hd)).astype(np.float32) * 0.2,
+        "b_ih": rng.standard_normal((3 * Hd,)).astype(np.float32) * 0.2,
+        "b_hh": rng.standard_normal((3 * Hd,)).astype(np.float32) * 0.2,
+    }
+    fw, bw = mk(), mk()
+    xt = np.transpose(x, (0, 2, 1, 3)).reshape(B * W, H, C)
+    ref = np.asarray(bigru_fused(xt, fw, bw)).reshape(B, W, H, 2 * Hd).transpose(0, 2, 1, 3)
+    got = np.asarray(bigru_nhwc_vertical(x, fw, bw))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_grublock_axis1_matches_axis2_transposed(rng):
+    import jax
+
+    from tpgsr_tpu.models.layers import GruBlock
+
+    x = rng.random((2, 6, 10, 8), dtype=np.float32)
+    g1 = GruBlock(8, axis=1)
+    v = g1.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(g1.apply(v, x))
+    g2 = GruBlock(8, axis=2)
+    xt = np.transpose(x, (0, 2, 1, 3))
+    ref = np.transpose(np.asarray(g2.apply(v, xt)), (0, 2, 1, 3))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

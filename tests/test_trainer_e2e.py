@@ -108,3 +108,19 @@ def test_textsr_demo_path(lmdb_dir, tmp_path, monkeypatch):
                         tpg_share=True, stu_iter=1, srb=2, hd_u=8, batch_size=8,
                         vis_dir="demopath", demo=True, demo_dir=str(demo_dir))
     TextSR(config, args).demo()
+
+
+def test_go_test_writes_visualizations(lmdb_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="tsrn_tl_cascade", mask=True, sr_share=True,
+                        tpg_share=True, stu_iter=1, srb=2, hd_u=8, batch_size=8,
+                        vis_dir="visrun", go_test=True)
+    TextSR(config, args).train()
+    vis = tmp_path / "demo" / "visrun" / "1"
+    assert vis.is_dir() and len(list(vis.iterdir())) > 0

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpgsr_tpu.ops.rnn import bigru_fused, bilstm_fused
+from tpgsr_tpu.ops.rnn import bigru_fused, bigru_nhwc_vertical, bilstm_fused
 
 
 def torch_uniform_init(fan_in: int) -> Callable:
@@ -220,22 +220,57 @@ class BiLSTM(nn.Module):
 
 
 class GruBlock(nn.Module):
-    """1x1 conv -> row-wise bidirectional GRU (model/tsrn.py:491-508).
+    """1x1 conv -> bidirectional GRU over one spatial axis
+    (model/tsrn.py:491-508).
 
-    Input [B,H,W,C_in]; the GRU runs over W for each of the B*H rows with
-    hidden size out_channels//2, so the output is [B,H,W,out_channels].
+    Input [B,H,W,C_in]; with ``axis=2`` (default) the GRU runs over W for
+    each of the B*H rows; with ``axis=1`` it runs over H (the SRB's vertical
+    sweep) via the transpose-free NHWC kernel.  Hidden size out_channels//2,
+    output [B,H,W,out_channels].  Params are identical either way (a 1x1
+    conv is orientation-invariant), so torch checkpoints import unchanged.
     """
 
     out_channels: int
+    axis: int = 2
 
     @nn.compact
     def __call__(self, x):
         assert self.out_channels % 2 == 0
         x = TorchConv(self.out_channels, (1, 1), name="conv1")(x)
+        if self.axis == 1:
+            return _VerticalBiGRUParams(self.out_channels // 2, name="gru")(x)
         b, h, w, c = x.shape
         x = x.reshape(b * h, w, c)
         x = BiGRU(hidden=self.out_channels // 2, name="gru")(x)
         return x.reshape(b, h, w, self.out_channels)
+
+
+class _VerticalBiGRUParams(nn.Module):
+    """BiGRU params (same names as BiGRU) bound to the vertical NHWC kernel."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        init = torch_uniform_init(self.hidden)
+
+        def p(name, shape):
+            return self.param(name, init, shape).astype(x.dtype)
+
+        fw = {
+            "w_ih": p("w_ih_l0", (3 * self.hidden, c)),
+            "w_hh": p("w_hh_l0", (3 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0", (3 * self.hidden,)),
+            "b_hh": p("b_hh_l0", (3 * self.hidden,)),
+        }
+        bw = {
+            "w_ih": p("w_ih_l0_reverse", (3 * self.hidden, c)),
+            "w_hh": p("w_hh_l0_reverse", (3 * self.hidden, self.hidden)),
+            "b_ih": p("b_ih_l0_reverse", (3 * self.hidden,)),
+            "b_hh": p("b_hh_l0_reverse", (3 * self.hidden,)),
+        }
+        return bigru_nhwc_vertical(x, fw, bw)
 
 
 class UpsampleBlock(nn.Module):

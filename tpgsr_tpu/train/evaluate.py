@@ -27,8 +27,15 @@ def evaluate(
     val_loader,
     decoder: Callable = _decode_crnn,
     max_batches: int = 0,
+    vis_dir: str = "",
+    n_vis: int = 10,
 ) -> Dict[str, float]:
-    """Run the jitted ``eval_step`` over a loader and aggregate metrics."""
+    """Run the jitted ``eval_step`` over a loader and aggregate metrics.
+
+    With ``vis_dir`` set, the first batch is dumped as LR|SR|HR grids via
+    utils.visualize (reference demo/<vis>/ and display/<vis>/ outputs,
+    interfaces/base.py:488-544).
+    """
     n_correct = 0
     n_correct_lr = 0
     n_correct_hr = 0
@@ -43,7 +50,7 @@ def evaluate(
             break
         labels = batch["labels"]
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        _, outs = eval_step(state, arrays)
+        sr_out, outs = eval_step(state, arrays)
         outs = {k: np.asarray(v) for k, v in outs.items()}
         b = len(labels)
         sum_psnr += float(outs["psnr"]) * b
@@ -55,6 +62,16 @@ def evaluate(
             preds_sr = decoder(outs["logits_sr"])
             preds_lr = decoder(outs["logits_lr"])
             preds_hr = decoder(outs["logits_hr"])
+            if vis_dir and bi == 0:
+                from tpgsr_tpu.charset import str_filt as _sf
+                from tpgsr_tpu.utils.visualize import test_display, tripple_display
+
+                sr_np = np.asarray(sr_out)
+                tripple_display(batch["lr"], sr_np, batch["hr"], preds_lr,
+                                preds_sr, labels, index=1, vis_dir=vis_dir,
+                                n_vis=n_vis)
+                test_display(batch["lr"], sr_np, batch["hr"], preds_lr,
+                             preds_sr, labels, _sf, vis_dir)
             stage_preds = {
                 i: decoder(outs[f"logits_stage{i}"])
                 for i in range(64)

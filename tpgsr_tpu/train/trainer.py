@@ -327,8 +327,11 @@ class TextSR:
         accs = {}
         for d, loader in zip(t.VAL.val_data_dir, val_loaders):
             name = os.path.basename(str(d).rstrip("/"))
-            md = evaluate(self._eval_step, state, loader,
-                          **({'decoder': self._decoder} if self._decoder else {}))
+            kw = {"decoder": self._decoder} if self._decoder else {}
+            if self.args.get("go_test"):
+                kw["vis_dir"] = self.vis_dir
+                kw["n_vis"] = int(t.VAL.get("n_vis", 10))
+            md = evaluate(self._eval_step, state, loader, **kw)
             print(
                 f"  [val {name}] acc={md['accuracy']:.4f} (lr={md['accuracy_lr']:.4f} "
                 f"hr={md['accuracy_hr']:.4f}) psnr={md['psnr_avg']:.2f} ssim={md['ssim_avg']:.4f}"
