@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""End-to-end learning demo on synthetic data (no pretrained checkpoints).
+
+The reference's accuracy numbers depend on pretrained torch recognizers we
+cannot download here; this script instead demonstrates the full TPGSR loop
+*learning from scratch*:
+
+  1. render a synthetic TextZoom-style LMDB (sharp HR / degraded LR pairs);
+  2. train a CRNN recognizer on the HR crops with our CTC loss (the
+     "teacher" the reference loads from crnn.pth);
+  3. train TPGSR-TSRN (cascade arch, distill + CTC + gradient losses)
+     against that teacher;
+  4. report CRNN word accuracy on LR vs SR: SR should recover accuracy the
+     degradation destroyed.
+
+Run: python examples/train_synthetic.py [--iters N] [--teacher-iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_dataset(path: str, n: int, seed: int = 0) -> str:
+    """Synthetic pairs: HR = clean rendered word; LR = blur + noise + 2x down."""
+    from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+    from tpgsr_tpu.data.lmdb import write_lmdb
+
+    try:
+        font = ImageFont.load_default(size=22)
+    except TypeError:  # older PIL: no size arg
+        font = ImageFont.load_default()
+    rng = np.random.default_rng(seed)
+    words = []
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    items = [(b"num-samples", str(n).encode())]
+    for i in range(1, n + 1):
+        word = "".join(rng.choice(list(chars), size=rng.integers(3, 7)))
+        words.append(word)
+        img = Image.new("RGB", (128, 32), tuple(int(c) for c in rng.integers(0, 60, 3)))
+        d = ImageDraw.Draw(img)
+        d.text((4, 3), word, font=font,
+               fill=tuple(int(c) for c in rng.integers(180, 255, 3)))
+        hr = img
+        lr = img.filter(ImageFilter.GaussianBlur(1.2)).resize((64, 16), Image.BICUBIC)
+        lr_arr = np.asarray(lr, np.float32) + rng.normal(0, 10, (16, 64, 3))
+        lr = Image.fromarray(np.clip(lr_arr, 0, 255).astype(np.uint8))
+
+        def enc(im):
+            buf = io.BytesIO()
+            im.save(buf, "PNG")
+            return buf.getvalue()
+
+        items.append((b"label-%09d" % i, word.encode()))
+        items.append((b"image_hr-%09d" % i, enc(hr)))
+        items.append((b"image_lr-%09d" % i, enc(lr)))
+    write_lmdb(path, sorted(items))
+    return path
+
+
+def train_teacher(ds, iters: int, batch: int, seed: int = 0):
+    """Train CRNN on HR crops with CTC (stands in for crnn.pth)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpgsr_tpu.charset import CTC_NUM_CLASSES, encode_ctc_padded
+    from tpgsr_tpu.data.transforms import resize_normalize
+    from tpgsr_tpu.models.crnn import CRNN
+    from tpgsr_tpu.ops.ctc import ctc_loss
+    from tpgsr_tpu.train.priors import parse_crnn_data
+
+    model = CRNN(nclass=CTC_NUM_CLASSES)
+    variables = model.init(jax.random.PRNGKey(seed), np.zeros((1, 32, 100, 1), np.float32),
+                           train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, stats, imgs, labels, lengths):
+        out, mut = model.apply({"params": params, "batch_stats": stats},
+                               parse_crnn_data(imgs), train=True,
+                               mutable=["batch_stats"])
+        per = ctc_loss(out, labels, lengths)
+        return jnp.mean(per), mut["batch_stats"]
+
+    @jax.jit
+    def step(params, stats, opt_state, imgs, labels, lengths):
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats, imgs, labels, lengths)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    n = len(ds)
+    for it in range(iters):
+        idx = rng.integers(0, n, batch)
+        imgs, words = [], []
+        for j in idx:
+            hr, _, label = ds[int(j)]
+            imgs.append(resize_normalize(hr, (128, 32)))
+            words.append(label)
+        labels, lengths = encode_ctc_padded(words, 15)
+        params, stats, opt_state, loss = step(
+            params, stats, opt_state, np.stack(imgs), labels, lengths)
+        if (it + 1) % 100 == 0:
+            print(f"  teacher iter {it + 1}: ctc {float(loss):.3f}")
+    return {"params": params, "batch_stats": stats}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--teacher-iters", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n-train", type=int, default=1500)
+    ap.add_argument("--workdir", default="")
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="tpgsr_syn_")
+    os.makedirs(work, exist_ok=True)
+    os.chdir(work)
+    print(f"workdir: {work}")
+
+    train_db = make_dataset(os.path.join(work, "train"), args.n_train, seed=0)
+    val_db = make_dataset(os.path.join(work, "val"), 256, seed=999)
+
+    from tpgsr_tpu.data.datasets import TextZoomDataset
+
+    t0 = time.time()
+    teacher_ds = TextZoomDataset(train_db, voc_type="lower")
+    teacher = train_teacher(teacher_ds, args.teacher_iters, args.batch)
+    print(f"teacher trained in {time.time() - t0:.0f}s")
+
+    from flax import serialization
+
+    teacher_path = os.path.join(work, "teacher.msgpack")
+    with open(teacher_path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            serialization.to_state_dict({"params": teacher["params"],
+                                         "batch_stats": teacher["batch_stats"]})))
+
+    # --- TPGSR training against the trained teacher -------------------------
+    from tpgsr_tpu.config import default_args, load_config
+    from tpgsr_tpu.train import checkpoint as ckpt
+    from tpgsr_tpu.train.trainer import TextSR
+
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [train_db]
+    t.VAL.val_data_dir = [val_db]
+    t.batch_size = args.batch
+    t.epochs = max(1, (args.iters * args.batch) // args.n_train)
+    t.VAL.valInterval = max(20, args.iters // 3)
+    t.saveInterval = 10 ** 9
+    t.displayInterval = 50
+    t.ckpt_dir = os.path.join(work, "ckpt")
+
+    cli = default_args(
+        arch="tsrn_tl_cascade", STN=True, mask=True, use_distill=True, use_label=True,
+        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
+        batch_size=args.batch, vis_dir="syn",
+    )
+    mission = TextSR(config, cli)
+    # inject the freshly-trained teacher in place of crnn.pth
+    mission._teacher_variables = lambda: serialization.msgpack_restore(
+        open(teacher_path, "rb").read())
+    mission.train()
+
+
+if __name__ == "__main__":
+    main()

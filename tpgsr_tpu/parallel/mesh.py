@@ -80,3 +80,38 @@ def pad_to_multiple(batch: Dict[str, Any], multiple: int) -> Dict[str, Any]:
             out[k] = v
     out["_valid"] = n
     return out
+
+
+def multihost_data_mesh() -> Mesh:
+    """Data-parallel mesh spanning all hosts (multi-host DCN scaling).
+
+    On a multi-host deployment (``jax.distributed.initialize()`` already
+    called by the launcher), ``jax.devices()`` enumerates every chip in the
+    slice; a 1-D 'data' mesh over them keeps the gradient psum on ICI within
+    each host and crosses DCN only for the final reduction — the standard
+    layout for pure data parallelism (the only parallelism these few-M-param
+    models warrant, SURVEY.md §2.9).  Each host feeds its own shard of the
+    global batch via ``jax.make_array_from_process_local_data``.
+
+    Single-host (this environment) it is identical to ``data_mesh()``.
+    """
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def host_local_batch_to_global(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble per-host batch shards into global sharded arrays.
+
+    Multi-host: each process passes its local shard (global_batch /
+    process_count rows); single-host this is ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(sh, v, global_shape)
+        else:
+            out[k] = v
+    return out
