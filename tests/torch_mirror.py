@@ -488,3 +488,105 @@ def build_torch_opt(nclass=37, oc=512):
             return self.Prediction(v).permute(1, 0, 2)
 
     return Model()
+
+
+def build_torch_tsrn_tl(srb_nums=5, hidden_units=32, mask=True, text_emb=37,
+                        out_text_channels=32, scale_factor=2):
+    """Full TSRN_TL mirror with the reference state_dict key layout
+    (block1.0/.1, blockK.{conv1,bn1,gru1.conv1,gru1.gru,conv2,bn2,gru2.*},
+    infoGen.tconvK/bnK, block7.0/.1, block8.{k}.conv + final conv)."""
+    import math
+
+    in_planes = 4 if mask else 3
+    ch = 2 * hidden_units
+
+    def mish(x):
+        return x * torch.tanh(F.softplus(x))
+
+    class GruBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 1)
+            self.gru = nn.GRU(cout, cout // 2, bidirectional=True, batch_first=True)
+
+        def forward(self, x):
+            x = self.conv1(x)
+            x = x.permute(0, 2, 3, 1).contiguous()
+            b = x.size()
+            x = x.view(b[0] * b[1], b[2], b[3])
+            x, _ = self.gru(x)
+            x = x.view(b[0], b[1], b[2], b[3])
+            return x.permute(0, 3, 1, 2)
+
+    class SRBTL(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(ch, ch, 3, padding=1)
+            self.bn1 = nn.BatchNorm2d(ch)
+            self.gru1 = GruBlock(ch + out_text_channels, ch)
+            self.conv2 = nn.Conv2d(ch, ch, 3, padding=1)
+            self.bn2 = nn.BatchNorm2d(ch)
+            self.gru2 = GruBlock(ch, ch)
+
+        def forward(self, x, t):
+            r = self.bn1(self.conv1(x))
+            r = mish(r)
+            r = self.bn2(self.conv2(r))
+            cat = torch.cat([r, t], 1)
+            r = self.gru1(cat.transpose(-1, -2)).transpose(-1, -2)
+            return self.gru2(x + r)
+
+    class InfoGen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.tconv1 = nn.ConvTranspose2d(text_emb, 512, 3, 2, bias=False)
+            self.bn1 = nn.BatchNorm2d(512)
+            self.tconv2 = nn.ConvTranspose2d(512, 128, 3, 2, bias=False)
+            self.bn2 = nn.BatchNorm2d(128)
+            self.tconv3 = nn.ConvTranspose2d(128, 64, 3, 2, padding=1, bias=False)
+            self.bn3 = nn.BatchNorm2d(64)
+            self.tconv4 = nn.ConvTranspose2d(64, out_text_channels, 3, (2, 1), padding=1, bias=False)
+            self.bn4 = nn.BatchNorm2d(out_text_channels)
+
+        def forward(self, t):
+            x = F.relu(self.bn1(self.tconv1(t)))
+            x = F.relu(self.bn2(self.tconv2(x)))
+            x = F.relu(self.bn3(self.tconv3(x)))
+            return F.relu(self.bn4(self.tconv4(x)))
+
+    class Up(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(ch, ch * 4, 3, padding=1)
+            self.pixel_shuffle = nn.PixelShuffle(2)
+
+        def forward(self, x):
+            return mish(self.pixel_shuffle(self.conv(x)))
+
+    class TSRN_TL(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.srb_nums = srb_nums
+            self.block1 = nn.Sequential(nn.Conv2d(in_planes, ch, 9, padding=4), nn.PReLU())
+            for i in range(srb_nums):
+                setattr(self, f"block{i + 2}", SRBTL())
+            self.infoGen = InfoGen()
+            setattr(self, f"block{srb_nums + 2}", nn.Sequential(
+                nn.Conv2d(ch, ch, 3, padding=1), nn.BatchNorm2d(ch)))
+            ups = [Up() for _ in range(int(math.log2(scale_factor)))]
+            ups.append(nn.Conv2d(ch, in_planes, 9, padding=4))
+            setattr(self, f"block{srb_nums + 3}", nn.Sequential(*ups))
+
+        def forward(self, x, text_emb):
+            b1 = self.block1(x)
+            sp = self.infoGen(text_emb)
+            sp = F.interpolate(sp, (x.shape[2], x.shape[3]), mode="bilinear",
+                               align_corners=True)
+            b = b1
+            for i in range(self.srb_nums):
+                b = getattr(self, f"block{i + 2}")(b, sp)
+            b = getattr(self, f"block{self.srb_nums + 2}")(b)
+            b = getattr(self, f"block{self.srb_nums + 3}")(b1 + b)
+            return torch.tanh(b)
+
+    return TSRN_TL()
