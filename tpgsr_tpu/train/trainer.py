@@ -239,10 +239,13 @@ class TextSR:
             return ("MORAN", model, variables), decode_moran_ids
         return None, None  # CRNN: teacher params inside the eval step
 
-    def _build_steps(self):
-        self._train_step = make_train_step(
-            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
-        )
+    def _build_steps(self, with_train: bool = True):
+        # eval-only paths (--go_test/--test/--demo) skip the train-step
+        # compile entirely — it is by far the most expensive trace
+        if with_train:
+            self._train_step = make_train_step(
+                self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
+            )
         eval_rec, decoder = self._eval_recognizer()
         self._decoder = decoder
         self._eval_step = make_eval_step(
@@ -256,11 +259,12 @@ class TextSR:
         train_loader = self.get_train_data()
         val_loaders = self.get_val_data()
         state = self._state or self.init_state()
-        self._build_steps()
+        self._build_steps(with_train=not self.args.get("go_test"))
         logger = ScalarLogger(os.path.join("tensorboard", self.vis_dir))
 
         if self.args.get("go_test"):
             self._run_val(state, val_loaders, logger, iters=0)
+            logger.close()
             return
 
         best_history_acc = {os.path.basename(str(d)): 0.0 for d in t.VAL.val_data_dir}
@@ -311,6 +315,7 @@ class TextSR:
                         self._info(iters, epoch, best_history_acc), False, converge_list,
                     )
         logger.close()
+        self._state = state
         return state
 
     def _info(self, iters, epoch, best_history_acc) -> Dict:
@@ -358,7 +363,7 @@ class TextSR:
         # --test picks its recognizer via --rec (super_resolution.py:1360-1370)
         rec_map = {"aster": "ASTER", "moran": "MORAN", "crnn": "CRNN"}
         self.args["test_model"] = rec_map.get(self.args.get("rec", "crnn"), "CRNN")
-        self._build_steps()
+        self._build_steps(with_train=False)
         t0 = time.time()
         md = evaluate(self._eval_step, state, loader,
                           **({'decoder': self._decoder} if self._decoder else {}))
@@ -376,7 +381,7 @@ class TextSR:
 
         t = self.config.TRAIN
         state = self._state or self.init_state(batch_size=1)
-        self._build_steps()
+        self._build_steps(with_train=False)
         files = sorted(os.listdir(self.args["demo_dir"]))
         n = 0
         t0 = time.time()
