@@ -52,8 +52,8 @@ def make_dataset(path: str, n: int, seed: int = 0) -> str:
         d.text((4, 3), word, font=font,
                fill=tuple(int(c) for c in rng.integers(180, 255, 3)))
         hr = img
-        lr = img.filter(ImageFilter.GaussianBlur(1.2)).resize((64, 16), Image.BICUBIC)
-        lr_arr = np.asarray(lr, np.float32) + rng.normal(0, 10, (16, 64, 3))
+        lr = img.filter(ImageFilter.GaussianBlur(0.9)).resize((64, 16), Image.BICUBIC)
+        lr_arr = np.asarray(lr, np.float32) + rng.normal(0, 6, (16, 64, 3))
         lr = Image.fromarray(np.clip(lr_arr, 0, 255).astype(np.uint8))
 
         def enc(im):
@@ -167,7 +167,7 @@ def main():
     t.ckpt_dir = os.path.join(work, "ckpt")
 
     cli = default_args(
-        arch="tsrn_tl_cascade", STN=True, mask=True, use_distill=True, use_label=True,
+        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True, use_label=True,
         gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
         batch_size=args.batch, vis_dir="syn",
     )
