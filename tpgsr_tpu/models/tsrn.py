@@ -26,11 +26,13 @@ from flax import linen as nn
 
 from tpgsr_tpu.models.layers import (
     BatchNorm,
+    ConvParams,
     GruBlock,
     PReLU,
     TorchConv,
     TorchConvTranspose,
     UpsampleBlock,
+    fused_sr_head,
     mish,
 )
 from tpgsr_tpu.models.stn import STNHead, TPSSpatialTransformer
@@ -138,9 +140,19 @@ class TSRN(nn.Module):
         b = BatchNorm(name=f"block{self.srb_nums + 2}_bn")(b, use_running_average=not train)
 
         b = block1 + b
-        for j in range(upsample_block_num):
+        # fused head: the last UpsampleBlock's shuffle+mish and the 9x9 out
+        # conv collapse into one exactly-equivalent 5x5 conv at LR scale
+        # (layers.fused_sr_head) — the HR-layout 9x9 conv was the hottest op
+        for j in range(upsample_block_num - 1):
             b = UpsampleBlock(ch, 2, name=f"block{self.srb_nums + 3}_up{j}")(b)
-        b = TorchConv(in_planes, (9, 9), padding=(4, 4), name=f"block{self.srb_nums + 3}_conv")(b)
+        g = UpsampleBlock(
+            ch, 2, apply_shuffle=False,
+            name=f"block{self.srb_nums + 3}_up{upsample_block_num - 1}",
+        )(b)
+        k9, b9 = ConvParams(
+            in_planes, (9, 9), ch, name=f"block{self.srb_nums + 3}_conv"
+        )()
+        b = fused_sr_head(g, None, k9, b9)
         return jnp.tanh(b)
 
 
@@ -198,9 +210,19 @@ class TSRN_TL(nn.Module):
         b = BatchNorm(name=f"block{self.srb_nums + 2}_bn")(b, use_running_average=not train)
 
         b = block1 + b
-        for j in range(upsample_block_num):
+        # fused head: the last UpsampleBlock's shuffle+mish and the 9x9 out
+        # conv collapse into one exactly-equivalent 5x5 conv at LR scale
+        # (layers.fused_sr_head) — the HR-layout 9x9 conv was the hottest op
+        for j in range(upsample_block_num - 1):
             b = UpsampleBlock(ch, 2, name=f"block{self.srb_nums + 3}_up{j}")(b)
-        b = TorchConv(in_planes, (9, 9), padding=(4, 4), name=f"block{self.srb_nums + 3}_conv")(b)
+        g = UpsampleBlock(
+            ch, 2, apply_shuffle=False,
+            name=f"block{self.srb_nums + 3}_up{upsample_block_num - 1}",
+        )(b)
+        k9, b9 = ConvParams(
+            in_planes, (9, 9), ch, name=f"block{self.srb_nums + 3}_conv"
+        )()
+        b = fused_sr_head(g, None, k9, b9)
         return jnp.tanh(b)
 
 
