@@ -19,3 +19,18 @@ parallelism is `jax.sharding.Mesh` + NamedSharding data parallelism.
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["TextSR", "load_config", "default_args", "tpg_opt"]
+
+
+def __getattr__(name):
+    """Lazy top-level API (importing the trainer pulls in jax/flax)."""
+    if name == "TextSR":
+        from tpgsr_tpu.train.trainer import TextSR
+
+        return TextSR
+    if name in ("load_config", "default_args", "tpg_opt"):
+        import tpgsr_tpu.config as _c
+
+        return getattr(_c, name)
+    raise AttributeError(name)

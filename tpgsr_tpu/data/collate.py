@@ -40,19 +40,24 @@ class CollateConfig:
     prior_len: int = 26  # static pad of the one-hot label tensor
     max_label_len: int = 15  # WTLAMask truncation (dataset.py:1282)
     train: bool = True
+    keep_ratio: bool = False  # aspect-preserving center-pad resize
 
 
 def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     hrs, lrs, labels = [], [], []
-    for img_hr, img_lr, label in batch:
-        hrs.append(resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask))
-        lrs.append(
-            resize_normalize(
-                img_lr,
-                (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale),
-                cfg.mask,
-            )
-        )
+    lr_size = (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale)
+    for item in batch:
+        img_hr, img_lr, label = item[0], item[1], item[2]
+        if cfg.keep_ratio:
+            from tpgsr_tpu.data.transforms import resize_normalize_keep_ratio
+
+            hr_arr, _ = resize_normalize_keep_ratio(img_hr, (cfg.imgW, cfg.imgH), cfg.mask)
+            lr_arr, _ = resize_normalize_keep_ratio(img_lr, lr_size, cfg.mask)
+        else:
+            hr_arr = resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask)
+            lr_arr = resize_normalize(img_lr, lr_size, cfg.mask)
+        hrs.append(hr_arr)
+        lrs.append(lr_arr)
         labels.append(label)
     return np.stack(hrs), np.stack(lrs), labels
 

@@ -87,6 +87,7 @@ class TextSR:
             down_sample_scale=self.scale_factor,
             mask=bool(self.args.get("mask", False)),
             train=train,
+            keep_ratio=bool(t.get("keep_ratio", False)),
         )
         kind = _collate_kind(self.arch, train)
         if self.args.get("syn"):
