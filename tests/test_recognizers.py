@@ -291,3 +291,21 @@ class TestLongTailComponents:
         v = d.init(jax.random.PRNGKey(0), x, train=False)
         out = np.asarray(d.apply(v, x, train=False))
         assert out.shape == (2,) and (0 <= out).all() and (out <= 1).all()
+
+
+def test_aster_beam_width1_equals_greedy():
+    """Beam search with width 1 must reduce exactly to greedy decoding, and
+    finished (<EOS>) beams stay frozen rather than being evicted."""
+    from tpgsr_tpu.charset import AsterInfo
+    from tpgsr_tpu.models.aster import RecognizerBuilder
+
+    info = AsterInfo("all")
+    x = np.random.default_rng(0).random((3, 32, 128, 3)).astype(np.float32) * 2 - 1
+    m5 = RecognizerBuilder(rec_num_classes=info.rec_num_classes,
+                           eos_id=info.char2id[info.EOS], max_len_labels=10, beam_width=5)
+    v = m5.init(jax.random.PRNGKey(0), x, train=False)
+    m1 = RecognizerBuilder(rec_num_classes=info.rec_num_classes,
+                           eos_id=info.char2id[info.EOS], max_len_labels=10, beam_width=1)
+    ids_b1 = np.asarray(m1.apply(v, x, train=False)["output"]["pred_rec"])
+    ids_greedy, _ = m5.apply(v, x, train=False, method=m5.sample)
+    np.testing.assert_array_equal(ids_b1, np.asarray(ids_greedy))

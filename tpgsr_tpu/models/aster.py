@@ -225,17 +225,22 @@ class AttentionRecognitionHead(nn.Module):
             state, y_prev, seq_scores = carry
             logits, new_state = mdl.decoder(x_inf, state, y_prev)
             logp = jax.nn.log_softmax(logits, axis=-1)  # [b*k, C]
+            # freeze finished beams: a beam that already emitted <EOS> can
+            # only re-emit <EOS> at zero cost, so it keeps its slot and
+            # score and stays competitive in the final top-1 (the reference
+            # achieves the same by re-inserting early-EOS beams during
+            # backtracking, attention_recognition_head.py:113-163)
+            finished = (y_prev == eos)[:, None]
+            eos_row = jnp.full((c,), -jnp.inf, logp.dtype).at[eos].set(0.0)
+            logp = jnp.where(finished, eos_row[None, :], logp)
             cand_scores = seq_scores[:, None] + logp  # [b*k, C]
             scores, candidates = jax.lax.top_k(cand_scores.reshape(b, k * c), k)
             y_new = (candidates % c).reshape(b * k).astype(jnp.int32)
             new_seq_scores = scores.reshape(b * k).astype(x_btc.dtype)
             predecessors = (candidates // c + pos_index).reshape(b * k)
             new_state = new_state[predecessors]
-            stored_scores = new_seq_scores
-            # erase scores of finished beams so they aren't expanded
-            new_seq_scores = jnp.where(y_new == eos, -jnp.inf, new_seq_scores)
             return (new_state, y_new, new_seq_scores), (
-                stored_scores, predecessors.astype(jnp.int32), y_new
+                new_seq_scores, predecessors.astype(jnp.int32), y_new
             )
 
         scan = nn.scan(
