@@ -182,3 +182,18 @@ class AttentionLabelConverter:
             out.append(word.split("$")[0])
             start += int(n)
         return out
+
+
+def labels2strs(labels, id2char: Dict[int, str], char2id: Dict[str, int]) -> List[str]:
+    """[B, L] id matrix -> strings, cut at EOS (utils/labelmaps.py:40-62)."""
+    labels = np.atleast_2d(np.asarray(labels))
+    eos = char2id["EOS"]
+    out = []
+    for row in labels:
+        chars = []
+        for v in row:
+            if int(v) == eos:
+                break
+            chars.append(id2char[int(v)])
+        out.append("".join(chars))
+    return out
