@@ -281,3 +281,4 @@ def bigru_nhwc_vertical(
     _, ys = jax.lax.scan(step, h0, xp)  # [H,2,BW,hid]
     y = jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)  # [H,BW,2hid]
     return jnp.transpose(y.reshape(h, b, w, 2 * hidden), (1, 0, 2, 3))
+
