@@ -121,8 +121,9 @@ def test_eval_step_outputs():
     estep = make_eval_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config)
     sr, outs = estep(state, _batch())
     assert sr.shape == (B, H * 2, W * 2, 4)
-    assert np.isfinite(float(np.asarray(outs["psnr"])))
-    assert 0.0 <= float(np.asarray(outs["ssim"])) <= 1.0
+    assert outs["mse"].shape == (B,) and np.isfinite(np.asarray(outs["mse"])).all()
+    assert outs["ssim"].shape == (B,)
+    assert (np.asarray(outs["ssim"]) <= 1.0).all()
     assert outs["logits_sr"].shape[1] == B
     assert "logits_stage0" in outs  # 2-stage cascade exposes stage counters
 

@@ -124,3 +124,28 @@ def test_go_test_writes_visualizations(lmdb_dir, tmp_path, monkeypatch):
     TextSR(config, args).train()
     vis = tmp_path / "demo" / "visrun" / "1"
     assert vis.is_dir() and len(list(vis.iterdir())) > 0
+
+
+def test_partial_final_batch_padded_eval(tmp_path, monkeypatch):
+    """drop_last=False eval: the final partial batch is padded to the
+    compiled shape and masked — metrics count only real samples."""
+    from tests.fixtures import make_textzoom_lmdb
+
+    db = make_textzoom_lmdb(str(tmp_path / "tz12"), n=12)  # batch 8 -> 8 + 4
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [db]
+    t.VAL.val_data_dir = [db]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8,
+                        vis_dir="partial", go_test=True)
+    mission = TextSR(config, args)
+    state = mission.init_state()
+    mission._build_steps(with_train=False)
+    from tpgsr_tpu.train.evaluate import evaluate
+
+    md = evaluate(mission._eval_step, state, mission.get_val_data()[0])
+    assert md["images"] == 12
+    assert np.isfinite(md["psnr_avg"]) and md["psnr_avg"] > 0

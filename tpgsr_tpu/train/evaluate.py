@@ -40,21 +40,34 @@ def evaluate(
     n_correct_lr = 0
     n_correct_hr = 0
     stage_correct: Dict[int, int] = {}
-    sum_psnr = 0.0
-    sum_ssim = 0.0
+    psnr_batches = []
+    ssim_batches = []
     n_images = 0
     n_batches = 0
+    full_batch = 0  # first batch fixes the compiled shape
 
     for bi, batch in enumerate(val_loader):
         if max_batches and bi >= max_batches:
             break
         labels = batch["labels"]
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        b = len(labels)
+        if full_batch == 0:
+            full_batch = b
+        elif b < full_batch:
+            # pad the final partial batch to the compiled shape (one compile
+            # per split instead of two); padded rows are masked out below
+            arrays = {
+                k: np.concatenate([v, np.repeat(v[-1:], full_batch - b, axis=0)])
+                for k, v in arrays.items()
+            }
         sr_out, outs = eval_step(state, arrays)
         outs = {k: np.asarray(v) for k, v in outs.items()}
-        b = len(labels)
-        sum_psnr += float(outs["psnr"]) * b
-        sum_ssim += float(outs["ssim"]) * b
+        # reference aggregation: per-batch PSNR from batch-mean MSE, then a
+        # plain mean over batches (super_resolution.py:974-975,1299-1339)
+        mse = float(np.mean(outs["mse"][:b]))
+        psnr_batches.append(20.0 * np.log10(255.0 / np.sqrt(max(mse, 1e-12))))
+        ssim_batches.append(float(np.mean(outs["ssim"][:b])))
         n_images += b
         n_batches += 1
 
@@ -77,7 +90,7 @@ def evaluate(
                 for i in range(64)
                 if f"logits_stage{i}" in outs
             }
-            for j, gt in enumerate(labels):
+            for j, gt in enumerate(labels):  # labels has only the b valid rows
                 gt_f = str_filt(gt, "lower")
                 if str_filt(preds_sr[j], "lower") == gt_f:
                     n_correct += 1
@@ -93,8 +106,8 @@ def evaluate(
         "accuracy": n_correct / max(n_images, 1),
         "accuracy_lr": n_correct_lr / max(n_images, 1),
         "accuracy_hr": n_correct_hr / max(n_images, 1),
-        "psnr_avg": sum_psnr / max(n_images, 1),
-        "ssim_avg": sum_ssim / max(n_images, 1),
+        "psnr_avg": float(np.mean(psnr_batches)) if psnr_batches else 0.0,
+        "ssim_avg": float(np.mean(ssim_batches)) if ssim_batches else 0.0,
         "images": n_images,
     }
     for i, c in stage_correct.items():

@@ -292,8 +292,11 @@ def make_eval_step(
             sr_list.append(sr_out)
 
         sr = sr_list[-1]
-        outs["psnr"] = calculate_psnr(sr[..., :3], hr[..., :3])
-        outs["ssim"] = ssim(sr[..., :3], hr[..., :3])
+        # per-sample metrics so the host can mask padded rows (the final
+        # partial batch is padded to the full batch size — one compile)
+        diff = (sr[..., :3] - hr[..., :3]) * 255.0
+        outs["mse"] = jnp.mean(diff * diff, axis=(1, 2, 3))
+        outs["ssim"] = ssim(sr[..., :3], hr[..., :3], size_average=False)
         can_recognize = rec_kind != "CRNN" or state.teacher_params is not None
         if with_recognizer and can_recognize:
             for name, img in (("sr", sr), ("lr", lr), ("hr", hr)):
