@@ -30,6 +30,29 @@ def _split3(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return x[..., :h], x[..., h : 2 * h], x[..., 2 * h :]
 
 
+def _gru_cell(h: jax.Array, xp: jax.Array, hp: jax.Array) -> jax.Array:
+    """torch GRU cell update from precomputed input/hidden projections
+    (gate order r, z, n): h' = (1-z)*n + z*h."""
+    xr, xz, xn = _split3(xp)
+    hr, hz, hn = _split3(hp)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _lstm_cell(h, c, xp, hp):
+    """torch LSTM cell update (gate order i, f, g, o)."""
+    xi, xf, xg, xo = _split4(xp)
+    hi, hf, hg, ho = _split4(hp)
+    i = jax.nn.sigmoid(xi + hi)
+    f = jax.nn.sigmoid(xf + hf)
+    g = jnp.tanh(xg + hg)
+    o = jax.nn.sigmoid(xo + ho)
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
 def gru_scan(
     x_btc: jax.Array,
     params: Dict[str, jax.Array],
@@ -63,12 +86,7 @@ def gru_scan(
         hp = h @ w_hh.T
         if b_hh is not None:
             hp = hp + b_hh
-        xr, xz, xn = _split3(xp_step)
-        hr, hz, hn = _split3(hp)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_cell(h, xp_step, hp)
         return h_new, h_new
 
     _, ys = jax.lax.scan(step, h0, xp_t, reverse=reverse)
@@ -119,14 +137,7 @@ def lstm_scan(
         hp = h @ w_hh.T
         if b_hh is not None:
             hp = hp + b_hh
-        xi, xf, xg, xo = _split4(xp_step)
-        hi, hf, hg, ho = _split4(hp)
-        i = jax.nn.sigmoid(xi + hi)
-        f = jax.nn.sigmoid(xf + hf)
-        g = jnp.tanh(xg + hg)
-        o = jax.nn.sigmoid(xo + ho)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(h, c, xp_step, hp)
         return (h_new, c_new), h_new
 
     _, ys = jax.lax.scan(step, (h0, c0), xp_t, reverse=reverse)
@@ -183,12 +194,7 @@ def bigru_fused(
         hp = jnp.einsum("kbh,kgh->kbg", h, w_hh)
         if b_hh is not None:
             hp = hp + b_hh[:, None, :]
-        xr, xz, xn = _split3(xp_step)
-        hr, hz, hn = _split3(hp)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_cell(h, xp_step, hp)
         return h_new, h_new
 
     _, ys = jax.lax.scan(step, h0, xp_t)  # [T, 2, B, H]
@@ -223,14 +229,7 @@ def bilstm_fused(
         hp = jnp.einsum("kbh,kgh->kbg", h, w_hh)
         if b_hh is not None:
             hp = hp + b_hh[:, None, :]
-        xi, xf, xg, xo = _split4(xp_step)
-        hi, hf, hg, ho = _split4(hp)
-        i = jax.nn.sigmoid(xi + hi)
-        f = jax.nn.sigmoid(xf + hf)
-        g = jnp.tanh(xg + hg)
-        o = jax.nn.sigmoid(xo + ho)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(h, c, xp_step, hp)
         return (h_new, c_new), h_new
 
     _, ys = jax.lax.scan(step, (h0, c0), xp_t)
@@ -270,12 +269,7 @@ def bigru_nhwc_vertical(
         hp = jnp.einsum("kbh,kgh->kbg", hh, w_hh)
         if b_hh is not None:
             hp = hp + b_hh[:, None, :]
-        xr, xz, xn = _split3(xps)
-        hr, hz, hn = _split3(hp)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * hh
+        h_new = _gru_cell(hh, xps, hp)
         return h_new, h_new
 
     _, ys = jax.lax.scan(step, h0, xp)  # [H,2,BW,hid]
