@@ -82,3 +82,68 @@ def test_loader_epoch(tz_root):
     # different epoch order (shuffle advances)
     b2 = list(dl)
     assert len(b2) == 2
+
+
+def test_same_size_bicubic_resize_is_identity():
+    """PIL bicubic at scale 1 is bit-exact identity -> resize_normalize's
+    same-size fast path (transforms.py) is safe on the canonical TextZoom
+    geometry."""
+    from PIL import Image
+
+    from tpgsr_tpu.data.transforms import resize_normalize
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (16, 64, 3), np.uint8)
+    img = Image.fromarray(arr)
+    resized = np.asarray(img.resize((64, 16), Image.BICUBIC))
+    assert np.array_equal(resized, arr)
+    out = resize_normalize(img, (64, 16), mask=True)
+    assert out.shape == (16, 64, 4)
+    assert np.allclose(out[..., :3], arr.astype(np.float32) / 255.0)
+
+
+def test_dataset_decode_cache_identical_items(tz_root):
+    ds0 = TextZoomDataset(tz_root, voc_type="upper")
+    ds1 = TextZoomDataset(tz_root, voc_type="upper", cache_images=True)
+    for i in range(len(ds0)):
+        a, b = ds0[i], ds1[i]
+        c = ds1[i]  # cache hit
+        assert b is not a and c is b
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        assert a[2] == b[2]
+
+
+def test_mixed_lmdb_random_above_cache(tz_root):
+    """MixedLMDB's HR-as-LR coin flip stays fresh on top of the decode
+    cache (the cache sits in TextZoomDataset.__getitem__, below it)."""
+    from tpgsr_tpu.data.datasets import MixedLMDB
+
+    ds = MixedLMDB(tz_root, voc_type="upper", cache_images=True)
+    sizes = {ds[0][1].size for _ in range(20)}
+    assert sizes == {(128, 32), (64, 16)}  # both branches seen
+
+
+def test_process_loader_matches_threaded(tz_root):
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=True)
+    fn = lambda b: collate_real_wtl_amask(b, cfg)
+    dl_t = DataLoader(ds, 4, fn, shuffle=True, drop_last=True, seed=3)
+    dl_p = DataLoader(ds, 4, fn, shuffle=True, drop_last=True, seed=3, num_workers=2)
+    bt, bp = list(dl_t), list(dl_p)
+    assert len(bt) == len(bp)
+    for a, b in zip(bt, bp):
+        assert np.array_equal(a["hr"], b["hr"])
+        assert np.array_equal(a["ctc_labels"], b["ctc_labels"])
+        assert a["labels"] == b["labels"]
+
+
+def test_lmdb_reader_picklable(tz_root):
+    import pickle
+
+    from tpgsr_tpu.data.lmdb import LMDBReader
+
+    env = LMDBReader(tz_root)
+    env2 = pickle.loads(pickle.dumps(env))
+    assert int(env2.get(b"num-samples")) == int(env.get(b"num-samples"))
+    assert env2.get(b"label-%09d" % 1) == env.get(b"label-%09d" % 1)

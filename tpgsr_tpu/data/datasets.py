@@ -35,9 +35,18 @@ def _buf2pil(buf: Optional[bytes], mode: str = "RGB") -> Image.Image:
 
 
 class TextZoomDataset:
-    """Paired LR/HR TextZoom LMDB. Items: (img_hr, img_lr, label_str)."""
+    """Paired LR/HR TextZoom LMDB. Items: (img_hr, img_lr, label_str).
 
-    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 100, test: bool = False):
+    ``cache_images=True`` keeps decoded items in RAM after first access.
+    Decoding (JPEG parse + decompress per tiny crop) dominates the host
+    input pipeline; TextZoom-scale sets decode to a few hundred MB, so
+    epochs 2+ become memcpy-speed.  Deterministic: the cached tuple is
+    exactly what __getitem__ returned on first access (random choices, e.g.
+    MixedLMDB's HR-as-LR, are layered *above* this cache and stay fresh).
+    """
+
+    def __init__(self, root: str, voc_type: str = "upper", max_len: int = 100,
+                 test: bool = False, cache_images: bool = False):
         self.env = LMDBReader(root)
         n = self.env.get(b"num-samples")
         if n is None:
@@ -46,12 +55,22 @@ class TextZoomDataset:
         self.voc_type = voc_type
         self.max_len = max_len
         self.test = test
+        # guard: a million tiny crops ~ 15 GB — below typical TPU-host RAM,
+        # above it we fall back to uncached reads
+        self._cache: Optional[dict] = (
+            {} if (cache_images and self.n_samples <= 1_000_000) else None
+        )
 
     def __len__(self) -> int:
         return self.n_samples
 
     def __getitem__(self, index: int):
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                return hit
         assert index <= len(self), "index range error"
+        key = index
         index += 1  # reference keys are 1-based (dataset.py:134)
         for probe in range(index, min(index + 16, self.n_samples + 1)):
             label = self.env.get(b"label-%09d" % probe)
@@ -61,7 +80,10 @@ class TextZoomDataset:
             except (IOError, OSError):
                 continue  # skip-forward on corrupt records (dataset.py:146-147)
             word = label.decode() if label is not None else ""
-            return img_hr, img_lr, str_filt(word, self.voc_type)
+            item = (img_hr, img_lr, str_filt(word, self.voc_type))
+            if self._cache is not None:
+                self._cache[key] = item
+            return item
         raise IOError(f"no readable record at or after index {index}")
 
 

@@ -80,6 +80,18 @@ class LMDBReader:
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._parse_meta()
 
+    # picklable for multi-process DataLoader workers: ship only the path and
+    # reopen the mmap in the child (fork inherits it anyway; this covers
+    # spawn and explicit pickling)
+    def __getstate__(self):
+        return {"path": self.path}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
+        self._f = open(self.path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self._parse_meta()
+
     # -- meta --------------------------------------------------------------
 
     def _read_meta(self, off: int) -> Optional[dict]:

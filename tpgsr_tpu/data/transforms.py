@@ -31,8 +31,13 @@ def resize_normalize(
     """PIL bicubic resize to (W, H) ``size``; returns [H, W, C(+1)] float32.
 
     Note: the mask is computed from the *resized* image, as in the reference.
+    Same-size fast path: PIL's bicubic kernel is exactly the identity at
+    integer positions (verified bit-exact in tests), and TextZoom's stored
+    pairs are already at the target geometry, so skipping the no-op resize
+    removes most of the collate's per-image cost on the canonical path.
     """
-    img = img.resize(size, Image.BICUBIC)
+    if img.size != size:
+        img = img.resize(size, Image.BICUBIC)
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     if mask:
         arr = np.concatenate([arr, contour_mask(img)], axis=-1)

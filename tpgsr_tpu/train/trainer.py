@@ -121,18 +121,29 @@ class TextSR:
         t = self.config.TRAIN
         dirs = t.train_data_dir
         cls = self._dataset_cls(test=False)
-        sets = [cls(d, voc_type=t.voc_type, max_len=t.max_len) for d in dirs]
+        kw = {}
+        if isinstance(cls, type) and issubclass(cls, TextZoomDataset):
+            kw["cache_images"] = bool(t.get("cache_images", True))
+        sets = [cls(d, voc_type=t.voc_type, max_len=t.max_len, **kw) for d in dirs]
         ds = sets[0] if len(sets) == 1 else ConcatDataset(sets)
+        # TRAIN.workers mirrors the reference's DataLoader workers
+        # (base.py:250-255).  workers<=1 uses the threaded path (a single
+        # fork only adds IPC cost); workers>1 forks that many processes.
+        w = int(t.get("workers", 1))
         return DataLoader(
             ds, int(t.batch_size), self._collate(train=True),
             shuffle=True, drop_last=True, seed=int(t.get("manualSeed", 1234)),
+            num_workers=w if w > 1 else 0,
         )
 
     def get_val_data(self) -> List[DataLoader]:
         t = self.config.TRAIN
         loaders = []
         for d in t.VAL.val_data_dir:
-            ds = TextZoomDataset(d, voc_type=t.voc_type, max_len=t.max_len, test=True)
+            ds = TextZoomDataset(
+                d, voc_type=t.voc_type, max_len=t.max_len, test=True,
+                cache_images=bool(t.get("cache_images", True)),
+            )
             loaders.append(
                 DataLoader(ds, int(t.batch_size), self._collate(train=False),
                            shuffle=False, drop_last=False)
