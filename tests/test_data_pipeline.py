@@ -147,3 +147,70 @@ def test_lmdb_reader_picklable(tz_root):
     env2 = pickle.loads(pickle.dumps(env))
     assert int(env2.get(b"num-samples")) == int(env.get(b"num-samples"))
     assert env2.get(b"label-%09d" % 1) == env.get(b"label-%09d" % 1)
+
+
+def test_uint8_wire_format_bit_exact(tz_root):
+    """uint8 collate output / 255 == the float collate output exactly (PIL
+    decodes to uint8 either way; only the division site moves)."""
+    ds = TextZoomDataset(tz_root)
+    items = [ds[i] for i in range(4)]
+    cfg_f = CollateConfig(mask=True)
+    cfg_u = CollateConfig(mask=True, wire_dtype="uint8")
+    bf = collate_real_wtl_amask(items, cfg_f)
+    bu = collate_real_wtl_amask(items, cfg_u)
+    assert bu["hr"].dtype == np.uint8 and bu["lr"].dtype == np.uint8
+    for k in ("hr", "lr"):
+        assert np.array_equal(bu[k].astype(np.float32) / 255.0, bf[k])
+    # non-image fields unchanged
+    assert np.array_equal(bu["ctc_labels"], bf["ctc_labels"])
+    assert np.array_equal(bu["label_vecs"], bf["label_vecs"])
+
+
+def test_train_step_same_loss_for_both_wire_formats(tz_root):
+    """The jitted train step normalizes uint8 batches on device; losses are
+    bit-identical to float batches."""
+    import jax
+
+    from tpgsr_tpu.charset import CTC_NUM_CLASSES
+    from tpgsr_tpu.config import default_args, load_config
+    from tpgsr_tpu.models.crnn import CRNN
+    from tpgsr_tpu.models.registry import ARCHS
+    from tpgsr_tpu.models.tsrn import TSRN_TL
+    from tpgsr_tpu.train.state import create_train_state
+    from tpgsr_tpu.train.step import make_train_step
+
+    ds = TextZoomDataset(tz_root)
+    items = [ds[i] for i in range(4)]
+    cfg_f = CollateConfig(mask=True)
+    cfg_u = CollateConfig(mask=True, wire_dtype="uint8")
+    bf = collate_real_wtl_amask(items, cfg_f)
+    bu = collate_real_wtl_amask(items, cfg_u)
+
+    args = default_args(arch="tsrn_tl_cascade", STN=False, mask=True,
+                        use_distill=True, use_label=True, gradient=True,
+                        sr_share=True, stu_iter=1)
+    config = load_config()
+    sr_model = TSRN_TL(scale_factor=2, width=128, height=32, stn=False,
+                       mask=True, srb_nums=2, hidden_units=8)
+    stu_model = CRNN(nclass=CTC_NUM_CLASSES)
+    b = 4
+    state = create_train_state(
+        jax.random.PRNGKey(0), sr_model,
+        (np.zeros((b, 16, 64, 4), np.float32),
+         np.zeros((b, 1, 26, CTC_NUM_CLASSES), np.float32)),
+        n_sr=1, stu_model=stu_model,
+        stu_example_inputs=(np.zeros((b, 32, 100, 1), np.float32),),
+        n_stu=1,
+        teacher_variables=stu_model.init(
+            jax.random.PRNGKey(1), np.zeros((b, 32, 100, 1), np.float32),
+            train=False),
+    )
+    step = make_train_step("tsrn_tl_cascade", ARCHS["tsrn_tl_cascade"],
+                           sr_model, stu_model, args, config, donate=False)
+
+    def arrays(batch):
+        return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    _, mf = step(state, arrays(bf))
+    _, mu = step(state, arrays(bu))
+    assert float(np.asarray(mf["loss_total"])) == float(np.asarray(mu["loss_total"]))

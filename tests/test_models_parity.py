@@ -111,3 +111,70 @@ def test_full_tsrn_tl_stn_params_import(rng):
     # no stn in the mirror: just assert the importer skips cleanly
     variables = ti.import_tsrn(sd, srb_nums=2)
     assert "stn_head" not in variables["params"]
+
+
+def test_full_tsrn_tl_gradient_parity(rng):
+    """Backprop parity through the ENTIRE TSRN_TL: dL/dx and dL/dprior of an
+    MSE loss match torch autograd on the same golden weights.  This checks
+    every layer's backward (convs, BN, GRU scans, InfoGen deconvs, fused SR
+    head, PReLU, mish, tanh) chained end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.torch_mirror import build_torch_tsrn_tl
+    from tpgsr_tpu.models.tsrn import TSRN_TL
+
+    tm = build_torch_tsrn_tl(srb_nums=2, hidden_units=8, out_text_channels=8).eval()
+    variables = ti.import_tsrn(_sd(tm), srb_nums=2)
+    x = rng.random((2, 16, 32, 4), dtype=np.float32)
+    prior = rng.random((2, 1, 26, 37), dtype=np.float32)
+    tgt = rng.random((2, 32, 64, 4), dtype=np.float32)
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    pt = torch.from_numpy(np.transpose(prior, (0, 3, 1, 2))).requires_grad_(True)
+    out = tm(xt, pt)
+    loss = ((out - torch.from_numpy(np.transpose(tgt, (0, 3, 1, 2)))) ** 2).mean()
+    loss.backward()
+    gx_ref = xt.grad.numpy().transpose(0, 2, 3, 1)
+    gp_ref = pt.grad.numpy().transpose(0, 2, 3, 1)
+
+    model = TSRN_TL(scale_factor=2, mask=True, srb_nums=2, hidden_units=8,
+                    out_text_channels=8)
+
+    def loss_fn(x, p):
+        out = model.apply(variables, x, p, train=False)
+        return jnp.mean((out - tgt) ** 2)
+
+    l, (gx, gp) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(prior)
+    )
+    np.testing.assert_allclose(float(l), float(loss.detach()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp), gp_ref, atol=2e-5)
+
+
+def test_crnn_gradient_parity(rng):
+    """dL/dx of the CRNN (student TPG) matches torch autograd — the student
+    trains jointly with the SR model, so its backward matters too."""
+    import jax
+    import jax.numpy as jnp
+
+    tm = build_torch_crnn().eval()
+    variables = ti.import_crnn(_sd(tm))
+    x = rng.random((2, 32, 100, 1), dtype=np.float32)
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    out = tm(xt)  # [T, B, C]
+    loss = (out ** 2).mean()
+    loss.backward()
+    gx_ref = xt.grad.numpy().transpose(0, 2, 3, 1)
+
+    model = CRNN(nclass=37)
+
+    def loss_fn(x):
+        logits = model.apply(variables, x, train=False)
+        return jnp.mean(logits ** 2)
+
+    l, gx = jax.value_and_grad(loss_fn)(jnp.asarray(x))
+    np.testing.assert_allclose(float(l), float(loss.detach()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, atol=2e-5)

@@ -41,11 +41,16 @@ class CollateConfig:
     max_label_len: int = 15  # WTLAMask truncation (dataset.py:1282)
     train: bool = True
     keep_ratio: bool = False  # aspect-preserving center-pad resize
+    # "uint8" ships images pre-normalization (mask channel {0,255}) — 4x less
+    # host->device transfer; the jitted steps divide by 255 on device, which
+    # is bit-identical (PIL decodes to uint8 either way).
+    wire_dtype: str = "float32"
 
 
 def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     hrs, lrs, labels = [], [], []
     lr_size = (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale)
+    u8 = cfg.wire_dtype == "uint8" and not cfg.keep_ratio
     for item in batch:
         img_hr, img_lr, label = item[0], item[1], item[2]
         if cfg.keep_ratio:
@@ -54,8 +59,8 @@ def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, Lis
             hr_arr, _ = resize_normalize_keep_ratio(img_hr, (cfg.imgW, cfg.imgH), cfg.mask)
             lr_arr, _ = resize_normalize_keep_ratio(img_lr, lr_size, cfg.mask)
         else:
-            hr_arr = resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask)
-            lr_arr = resize_normalize(img_lr, lr_size, cfg.mask)
+            hr_arr = resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask, as_uint8=u8)
+            lr_arr = resize_normalize(img_lr, lr_size, cfg.mask, as_uint8=u8)
         hrs.append(hr_arr)
         lrs.append(lr_arr)
         labels.append(label)

@@ -70,6 +70,15 @@ def _crnn_width(cfg_width: int) -> int:
     return 100 if cfg_width == 128 else cfg_width
 
 
+def _as_image(arr, dtype):
+    """Batch image -> compute dtype in [0,1].  uint8 wire format (the
+    compact collate output) is divided by 255 here, on device — bit-identical
+    to host-side normalization since PIL decodes to uint8 either way."""
+    if arr.dtype == jnp.uint8:
+        return arr.astype(dtype) / jnp.asarray(255.0, dtype)
+    return arr.astype(dtype)
+
+
 def make_train_step(
     arch: str,
     spec: ArchSpec,
@@ -108,8 +117,8 @@ def make_train_step(
         sr_params, stu_params = trainable["sr"], trainable["stu"]
         sr_stats = list(state.sr_stats)
         stu_stats = list(state.stu_stats)
-        hr = batch["hr"].astype(compute_dtype)
-        lr = batch["lr"].astype(compute_dtype)
+        hr = _as_image(batch["hr"], compute_dtype)
+        lr = _as_image(batch["lr"], compute_dtype)
         metrics: Dict[str, jax.Array] = {}
 
         if is_cascade or is_tl_simple:
@@ -264,7 +273,8 @@ def make_eval_step(
         return logits
 
     def eval_step(state: TrainState, batch):
-        hr, lr = batch["hr"], batch["lr"]
+        hr = _as_image(batch["hr"], jnp.float32)
+        lr = _as_image(batch["lr"], jnp.float32)
         outs: Dict[str, Any] = {}
         sr_list = []
         if is_tl:

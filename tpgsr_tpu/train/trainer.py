@@ -36,6 +36,41 @@ from tpgsr_tpu.train.state import TrainState, create_train_state
 from tpgsr_tpu.train.step import make_eval_step, make_train_step
 
 
+def _device_prefetch(loader, mesh, depth: int = 2):
+    """Iterate ``loader`` with batches already sharded onto the device.
+
+    A background thread runs collate-output -> ``shard_batch`` (device_put)
+    ``depth`` batches ahead, so the host->device transfer of batch i+1
+    overlaps the TPU compute of batch i (flax ``prefetch_to_device``
+    pattern).  Yields (device_arrays, raw_batch) pairs; raw_batch keeps
+    non-array fields (label strings).
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in loader:
+                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+                q.put((shard_batch(mesh, arrays), batch))
+            q.put(_END)
+        except BaseException as e:  # surface loader errors in the main thread
+            q.put(e)
+
+    t = _threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _collate_kind(arch: str, train: bool) -> str:
     # dataset/collate dispatch (interfaces/base.py:51-214)
     if arch in ABLATION_SET or arch in TL_SIMPLE:
@@ -88,6 +123,9 @@ class TextSR:
             mask=bool(self.args.get("mask", False)),
             train=train,
             keep_ratio=bool(t.get("keep_ratio", False)),
+            # compact uint8 wire format: 4x less host->device traffic, the
+            # jitted steps normalize on device (bit-identical)
+            wire_dtype="uint8" if bool(t.get("wire_uint8", True)) else "float32",
         )
         kind = _collate_kind(self.arch, train)
         if self.args.get("syn"):
@@ -288,10 +326,8 @@ class TextSR:
         times = []
 
         for epoch in range(int(t.epochs)):
-            for j, batch in enumerate(train_loader):
+            for j, (arrays, batch) in enumerate(_device_prefetch(train_loader, self.mesh)):
                 iters = len(train_loader) * epoch + j + 1
-                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-                arrays = shard_batch(self.mesh, arrays)
                 t0 = time.time()
                 state, metrics = self._train_step(state, arrays)
                 if iters % 5 == 0:

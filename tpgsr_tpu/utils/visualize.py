@@ -17,7 +17,10 @@ from PIL import Image
 
 
 def _to_pil(arr01: np.ndarray) -> Image.Image:
-    a = np.clip(np.asarray(arr01)[..., :3], 0.0, 1.0)
+    a = np.asarray(arr01)[..., :3]
+    if a.dtype == np.uint8:  # compact wire-format batches
+        return Image.fromarray(a)
+    a = np.clip(a, 0.0, 1.0)
     return Image.fromarray((a * 255.0 + 0.5).astype(np.uint8))
 
 
