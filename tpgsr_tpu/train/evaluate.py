@@ -29,13 +29,23 @@ def evaluate(
     max_batches: int = 0,
     vis_dir: str = "",
     n_vis: int = 10,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run the jitted ``eval_step`` over a loader and aggregate metrics.
 
     With ``vis_dir`` set, the first batch is dumped as LR|SR|HR grids via
     utils.visualize (reference demo/<vis>/ and display/<vis>/ outputs,
     interfaces/base.py:488-544).
+
+    Pipelined: a background thread loads/pads (and, with ``mesh``, shards
+    onto the device) the next batch, and batch i's outputs are materialized
+    only after batch i+1's step is dispatched — so host decode work and
+    host<->device transfers overlap TPU compute instead of serializing with
+    it (matters doubly through a remote-TPU tunnel).
     """
+    import queue as _queue
+    import threading as _threading
+
     n_correct = 0
     n_correct_lr = 0
     n_correct_hr = 0
@@ -44,63 +54,63 @@ def evaluate(
     ssim_batches = []
     n_images = 0
     n_batches = 0
-    full_batch = 0  # first batch fixes the compiled shape
 
-    for bi, batch in enumerate(val_loader):
-        if max_batches and bi >= max_batches:
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    _END = object()
+
+    def producer():
+        try:
+            full_batch = 0  # first batch fixes the compiled shape
+            for bi, batch in enumerate(val_loader):
+                if max_batches and bi >= max_batches:
+                    break
+                labels = batch["labels"]
+                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+                b = len(labels)
+                if full_batch == 0:
+                    full_batch = b
+                elif b < full_batch:
+                    # pad the final partial batch to the compiled shape (one
+                    # compile per split); padded rows are masked out below
+                    arrays = {
+                        k: np.concatenate([v, np.repeat(v[-1:], full_batch - b, axis=0)])
+                        for k, v in arrays.items()
+                    }
+                if mesh is not None:
+                    from tpgsr_tpu.parallel import shard_batch
+
+                    arrays = shard_batch(mesh, arrays)
+                q.put((bi, batch, labels, b, arrays))
+            q.put(_END)
+        except BaseException as e:  # surfaced in the main thread
+            q.put(e)
+
+    _threading.Thread(target=producer, daemon=True).start()
+
+    pending = None
+    while True:
+        item = q.get()
+        if item is _END:
             break
-        labels = batch["labels"]
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        b = len(labels)
-        if full_batch == 0:
-            full_batch = b
-        elif b < full_batch:
-            # pad the final partial batch to the compiled shape (one compile
-            # per split instead of two); padded rows are masked out below
-            arrays = {
-                k: np.concatenate([v, np.repeat(v[-1:], full_batch - b, axis=0)])
-                for k, v in arrays.items()
-            }
-        sr_out, outs = eval_step(state, arrays)
-        outs = {k: np.asarray(v) for k, v in outs.items()}
-        # reference aggregation: per-batch PSNR from batch-mean MSE, then a
-        # plain mean over batches (super_resolution.py:974-975,1299-1339)
-        mse = float(np.mean(outs["mse"][:b]))
-        psnr_batches.append(20.0 * np.log10(255.0 / np.sqrt(max(mse, 1e-12))))
-        ssim_batches.append(float(np.mean(outs["ssim"][:b])))
-        n_images += b
-        n_batches += 1
-
-        if "logits_sr" in outs:
-            preds_sr = decoder(outs["logits_sr"])
-            preds_lr = decoder(outs["logits_lr"])
-            preds_hr = decoder(outs["logits_hr"])
-            if vis_dir and bi == 0:
-                from tpgsr_tpu.charset import str_filt as _sf
-                from tpgsr_tpu.utils.visualize import test_display, tripple_display
-
-                sr_np = np.asarray(sr_out)
-                tripple_display(batch["lr"], sr_np, batch["hr"], preds_lr,
-                                preds_sr, labels, index=1, vis_dir=vis_dir,
-                                n_vis=n_vis)
-                test_display(batch["lr"], sr_np, batch["hr"], preds_lr,
-                             preds_sr, labels, _sf, vis_dir)
-            stage_preds = {
-                i: decoder(outs[f"logits_stage{i}"])
-                for i in range(64)
-                if f"logits_stage{i}" in outs
-            }
-            for j, gt in enumerate(labels):  # labels has only the b valid rows
-                gt_f = str_filt(gt, "lower")
-                if str_filt(preds_sr[j], "lower") == gt_f:
-                    n_correct += 1
-                if str_filt(preds_lr[j], "lower") == gt_f:
-                    n_correct_lr += 1
-                if str_filt(preds_hr[j], "lower") == gt_f:
-                    n_correct_hr += 1
-                for i, ps in stage_preds.items():
-                    if str_filt(ps[j], "lower") == gt_f:
-                        stage_correct[i] = stage_correct.get(i, 0) + 1
+        if isinstance(item, BaseException):
+            raise item
+        bi, batch, labels, b, arrays = item
+        dispatched = eval_step(state, arrays)  # async dispatch
+        if pending is not None:
+            _p = _process(pending, decoder, vis_dir, n_vis)
+            n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
+            for i, c in _p["stage"].items():
+                stage_correct[i] = stage_correct.get(i, 0) + c
+            psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
+            n_images += _p["n"]; n_batches += 1
+        pending = (bi, batch, labels, b) + dispatched
+    if pending is not None:
+        _p = _process(pending, decoder, vis_dir, n_vis)
+        n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
+        for i, c in _p["stage"].items():
+            stage_correct[i] = stage_correct.get(i, 0) + c
+        psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
+        n_images += _p["n"]; n_batches += 1
 
     metrics = {
         "accuracy": n_correct / max(n_images, 1),
@@ -113,3 +123,49 @@ def evaluate(
     for i, c in stage_correct.items():
         metrics[f"accuracy_stage{i}"] = c / max(n_images, 1)
     return metrics
+
+
+def _process(pending, decoder, vis_dir, n_vis) -> Dict:
+    """Materialize one dispatched batch's outputs and score it."""
+    bi, batch, labels, b, sr_out, outs = pending
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    # reference aggregation: per-batch PSNR from batch-mean MSE, then a
+    # plain mean over batches (super_resolution.py:974-975,1299-1339)
+    mse = float(np.mean(outs["mse"][:b]))
+    out = {
+        "c": 0, "c_lr": 0, "c_hr": 0, "stage": {}, "n": b,
+        "psnr": 20.0 * np.log10(255.0 / np.sqrt(max(mse, 1e-12))),
+        "ssim": float(np.mean(outs["ssim"][:b])),
+    }
+
+    if "logits_sr" in outs:
+        preds_sr = decoder(outs["logits_sr"])
+        preds_lr = decoder(outs["logits_lr"])
+        preds_hr = decoder(outs["logits_hr"])
+        if vis_dir and bi == 0:
+            from tpgsr_tpu.charset import str_filt as _sf
+            from tpgsr_tpu.utils.visualize import test_display, tripple_display
+
+            sr_np = np.asarray(sr_out)
+            tripple_display(batch["lr"], sr_np, batch["hr"], preds_lr,
+                            preds_sr, labels, index=1, vis_dir=vis_dir,
+                            n_vis=n_vis)
+            test_display(batch["lr"], sr_np, batch["hr"], preds_lr,
+                         preds_sr, labels, _sf, vis_dir)
+        stage_preds = {
+            i: decoder(outs[f"logits_stage{i}"])
+            for i in range(64)
+            if f"logits_stage{i}" in outs
+        }
+        for j, gt in enumerate(labels):  # labels has only the b valid rows
+            gt_f = str_filt(gt, "lower")
+            if str_filt(preds_sr[j], "lower") == gt_f:
+                out["c"] += 1
+            if str_filt(preds_lr[j], "lower") == gt_f:
+                out["c_lr"] += 1
+            if str_filt(preds_hr[j], "lower") == gt_f:
+                out["c_hr"] += 1
+            for i, ps in stage_preds.items():
+                if str_filt(ps[j], "lower") == gt_f:
+                    out["stage"][i] = out["stage"].get(i, 0) + 1
+    return out

@@ -384,7 +384,7 @@ class TextSR:
             if self.args.get("go_test"):
                 kw["vis_dir"] = self.vis_dir
                 kw["n_vis"] = int(t.VAL.get("n_vis", 10))
-            md = evaluate(self._eval_step, state, loader, **kw)
+            md = evaluate(self._eval_step, state, loader, mesh=self.mesh, **kw)
             print(
                 f"  [val {name}] acc={md['accuracy']:.4f} (lr={md['accuracy_lr']:.4f} "
                 f"hr={md['accuracy_hr']:.4f}) psnr={md['psnr_avg']:.2f} ssim={md['ssim_avg']:.4f}"
@@ -413,8 +413,8 @@ class TextSR:
         self.args["test_model"] = rec_map.get(self.args.get("rec", "crnn"), "CRNN")
         self._build_steps(with_train=False)
         t0 = time.time()
-        md = evaluate(self._eval_step, state, loader,
-                          **({'decoder': self._decoder} if self._decoder else {}))
+        md = evaluate(self._eval_step, state, loader, mesh=self.mesh,
+                      **({'decoder': self._decoder} if self._decoder else {}))
         md["fps"] = md["images"] / (time.time() - t0)
         print({k: round(v, 4) if isinstance(v, float) else v for k, v in md.items()})
         return md
