@@ -203,3 +203,43 @@ def test_bf16_train_step_close_to_fp32():
     l16, l32 = float(np.asarray(m16["loss_total"])), float(np.asarray(m32["loss_total"]))
     assert np.isfinite(l16)
     assert abs(l16 - l32) / abs(l32) < 0.05  # bf16 rounding only
+
+
+def test_tuple_output_archs_train_and_eval():
+    """tsrn_c2f (aux coarse loss, super_resolution.py:250-257) and sem_tsrn
+    (image loss only; the reference's semantic term is a dead 0,
+    :235-247) train and eval through the generic steps — regression for the
+    tuple-output crash."""
+    import jax
+
+    from tpgsr_tpu.config import default_args
+    from tpgsr_tpu.models.registry import build_model
+    from tpgsr_tpu.train.step import make_eval_step
+
+    for arch in ("tsrn_c2f", "sem_tsrn"):
+        args = default_args(arch=arch, STN=False, mask=True, srb=2, hd_u=8)
+        config = load_config()
+        config.TRAIN.width, config.TRAIN.height = 64, 32
+        model, spec = build_model(arch, args, {"scale_factor": 2, "width": 64, "height": 32})
+        b = 2
+        lr = np.random.rand(b, 16, 32, 4).astype(np.float32)
+        hr = np.random.rand(b, 32, 64, 4).astype(np.float32)
+        batch = {"hr": hr, "lr": lr}
+        if arch == "tsrn_c2f":
+            batch["coarse"] = np.random.rand(b, 16, 32, 4).astype(np.float32)
+        else:
+            batch["w2v"] = np.zeros((b, 300), np.float32)
+        state = create_train_state(jax.random.PRNGKey(0), model, (lr,), n_sr=1)
+        step = make_train_step(arch, spec, model, None, args, config, donate=False)
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+        if arch == "tsrn_c2f":
+            # the aux coarse loss contributes (loss_total > loss_img)
+            assert float(np.asarray(metrics["loss_total"])) > float(
+                np.asarray(metrics["loss_img"])
+            )
+        estep = make_eval_step(arch, spec, model, None, args, config,
+                               with_recognizer=False)
+        sr, outs = estep(state2, batch)
+        assert sr.shape == (b, 32, 64, 4)
+        assert np.isfinite(float(np.asarray(outs["mse"]).mean()))

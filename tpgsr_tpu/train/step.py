@@ -174,10 +174,42 @@ def make_train_step(
             loss = loss_img + loss_recog
             metrics["loss_img"] = jnp.asarray(loss_img)
             metrics["loss_distill"] = jnp.asarray(loss_recog)
+        elif arch == "tsrn_c2f":
+            # image_sr, image_coar = model(lr); loss = img*100 + coarse*100
+            # (super_resolution.py:250-257, coarse target from the c2f
+            # collate's HR/LR pixel average)
+            (sr_out, coarse), sr_stats[0] = _apply(
+                sr_model, sr_params[0], sr_stats[0], (lr[..., :in_ch],), train=True
+            )
+            loss_img = crit(
+                sr_out.astype(jnp.float32), hr[..., :in_ch].astype(jnp.float32)
+            ) * 100.0
+            loss_coar = crit(
+                coarse.astype(jnp.float32),
+                _as_image(batch["coarse"], jnp.float32)[..., : coarse.shape[-1]],
+            ) * 100.0
+            loss = loss_img + loss_coar
+            metrics["loss_img"] = loss_img
+            metrics["loss_distill"] = jnp.zeros(())
+        elif arch == "sem_tsrn":
+            # image_sr, pred_vecs = model(lr, word_vec); only the image loss
+            # contributes — the reference's semantic term is a dead 0
+            # (super_resolution.py:235-247, loss_sem_cal = 0.)
+            (sr_out, _vecs), sr_stats[0] = _apply(
+                sr_model, sr_params[0], sr_stats[0],
+                (lr[..., :in_ch], batch.get("w2v")), train=True,
+            )
+            loss = crit(
+                sr_out.astype(jnp.float32), hr[..., :in_ch].astype(jnp.float32)
+            ) * 100.0
+            metrics["loss_img"] = loss
+            metrics["loss_distill"] = jnp.zeros(())
         else:
             sr_out, sr_stats[0] = _apply(
                 sr_model, sr_params[0], sr_stats[0], (lr[..., :in_ch],), train=True
             )
+            if isinstance(sr_out, tuple):
+                sr_out = sr_out[0]
             loss = crit(
                 sr_out.astype(jnp.float32), hr[..., :in_ch].astype(jnp.float32)
             ) * 100.0
@@ -299,6 +331,8 @@ def make_eval_step(
                 sr_model, state.sr_params[0], state.sr_stats[0],
                 (lr[..., :in_ch],), train=False,
             )
+            if isinstance(sr_out, tuple):  # tsrn_c2f / sem_tsrn aux outputs
+                sr_out = sr_out[0]
             sr_list.append(sr_out)
 
         sr = sr_list[-1]
