@@ -23,7 +23,7 @@ from tpgsr_tpu.models.tsrn import SEM_TSRN, TSRN, TSRN_C2F, TSRN_TL
 # (super_resolution.py:44 ABLATION_SET)
 ABLATION_SET = ("tsrn_tl_cascade", "srcnn_tl", "srresnet_tl", "rdn_tl", "vdsr_tl")
 # archs whose trainer path uses a single student TPG without cascade
-TL_SIMPLE = ("tsrn_tl", "tsrn_tl_wmask")
+TL_SIMPLE = ("tsrn_tl", "tsrn_tl_wmask", "esrgan_tl")
 TL_ARCHS = ABLATION_SET + TL_SIMPLE
 
 

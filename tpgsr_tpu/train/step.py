@@ -159,14 +159,18 @@ def make_train_step(
                 if is_cascade and n_stage > 1:
                     # remat each SR stage: cascade grads flow end-to-end
                     sr_apply = jax.checkpoint(sr_apply, static_argnums=(3,))
+                # image input/target sliced to the arch's channel count
+                # (no-op for the 4-channel TSRN-family; esrgan_tl is 3-ch)
                 sr_out, sr_stats[pick] = sr_apply(
-                    sr_params[pick], sr_stats[pick], (lr, prior.astype(compute_dtype)), True
+                    sr_params[pick], sr_stats[pick],
+                    (lr[..., :in_ch], prior.astype(compute_dtype)), True,
                 )
-                loss_img_each = crit(sr_out.astype(jnp.float32), hr.astype(jnp.float32)) * 100.0
+                hr_t = hr[..., :in_ch].astype(jnp.float32)
+                loss_img_each = crit(sr_out.astype(jnp.float32), hr_t) * 100.0
                 loss_img = loss_img + loss_img_each
                 if use_ssim:
                     loss_img = loss_img + (
-                        1.0 - ssim(sr_out.astype(jnp.float32), hr.astype(jnp.float32))
+                        1.0 - ssim(sr_out.astype(jnp.float32), hr_t)
                     ) * 10.0
                 cascade_images = sr_out
                 metrics[f"loss_img_{i}"] = loss_img_each
@@ -322,7 +326,7 @@ def make_eval_step(
                 pick = 0 if sr_share else i
                 sr_out, _ = _apply(
                     sr_model, state.sr_params[pick], state.sr_stats[pick],
-                    (lr, prior), train=False,
+                    (lr[..., :in_ch], prior), train=False,
                 )
                 cascade_images = sr_out
                 sr_list.append(sr_out)

@@ -208,7 +208,11 @@ class TextSR:
         c = 4 if self.args.get("mask") else 3
         lr_img = np.zeros((b, h, w, c), np.float32)
         prior = np.zeros((b, 1, 26, CTC_NUM_CLASSES), np.float32)
-        sr_inputs = (lr_img, prior) if self.spec.uses_prior else (lr_img[..., : self.spec.in_channels],)
+        sr_inputs = (
+            (lr_img[..., : self.spec.in_channels], prior)
+            if self.spec.uses_prior
+            else (lr_img[..., : self.spec.in_channels],)
+        )
         teacher = self._teacher_variables() if self.is_tl else None
         state = create_train_state(
             jax.random.PRNGKey(int(t.get("manualSeed", 1234))),
