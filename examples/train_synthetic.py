@@ -14,6 +14,15 @@ cannot download here; this script instead demonstrates the full TPGSR loop
      degradation destroyed.
 
 Run: python examples/train_synthetic.py [--iters N] [--teacher-iters N]
+
+NOTE on scale: the defaults are a quick smoke (teacher CTC only reaches
+~16 after 600 iters — not converged; measured trajectory: 17.7 @500,
+13.9 @1000, 7.8 @1500, 3.6 @2000, 2.0 @2500, HR word accuracy 16% @2500
+and still climbing).  The validated end-to-end result (teacher 97.7%,
+LR 0.4% -> SR 90.2%, see git history) needs the teacher trained until its
+CTC loss is well under 1 — budget several thousand teacher iters and
+~1000 TPGSR iters.  Through a tunneled TPU the teacher loop is dispatch-
+bound (~0.25 s/iter), so the full run is an hours-scale job.
 """
 
 from __future__ import annotations
@@ -125,6 +134,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=1500)
     ap.add_argument("--workdir", default="")
+    ap.add_argument("--compute-dtype", default="fp32", choices=["fp32", "bf16"],
+                    help="TRAIN.compute_dtype for the TPGSR training phase")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="tpgsr_syn_")
@@ -165,6 +176,7 @@ def main():
     t.saveInterval = 10 ** 9
     t.displayInterval = 50
     t.ckpt_dir = os.path.join(work, "ckpt")
+    t.compute_dtype = args.compute_dtype
 
     cli = default_args(
         arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True, use_label=True,
