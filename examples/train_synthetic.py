@@ -103,27 +103,50 @@ def train_teacher(ds, iters: int, batch: int, seed: int = 0):
         per = ctc_loss(out, labels, lengths)
         return jnp.mean(per), mut["batch_stats"]
 
+    # K steps per dispatch: through a tunneled TPU a single-step loop is
+    # RTT-bound (~0.25 s/iter); scanning CHUNK steps inside one jit call and
+    # shipping the chunk's images as uint8 makes the loop compute-bound.
+    CHUNK = 25
+
     @jax.jit
-    def step(params, stats, opt_state, imgs, labels, lengths):
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, stats, imgs, labels, lengths)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), stats, opt_state, loss
+    def run_chunk(params, stats, opt_state, imgs_u8, labels, lengths):
+        def one(carry, xs):
+            params, stats, opt_state = carry
+            imgs_u8, labels, lengths = xs
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, imgs, labels, lengths)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), stats, opt_state), loss
+
+        (params, stats, opt_state), losses = jax.lax.scan(
+            one, (params, stats, opt_state), (imgs_u8, labels, lengths))
+        return params, stats, opt_state, losses[-1]
 
     rng = np.random.default_rng(seed)
     n = len(ds)
-    for it in range(iters):
-        idx = rng.integers(0, n, batch)
-        imgs, words = [], []
-        for j in idx:
-            hr, _, label = ds[int(j)]
-            imgs.append(resize_normalize(hr, (128, 32)))
-            words.append(label)
-        labels, lengths = encode_ctc_padded(words, 15)
-        params, stats, opt_state, loss = step(
-            params, stats, opt_state, np.stack(imgs), labels, lengths)
-        if (it + 1) % 100 == 0:
-            print(f"  teacher iter {it + 1}: ctc {float(loss):.3f}")
+    done = 0
+    while done < iters:
+        k = min(CHUNK, iters - done)
+        imgs_k, labels_k, lengths_k = [], [], []
+        for _ in range(k):
+            idx = rng.integers(0, n, batch)
+            imgs, words = [], []
+            for j in idx:
+                hr, _, label = ds[int(j)]
+                imgs.append(resize_normalize(hr, (128, 32), as_uint8=True))
+                words.append(label)
+            labels, lengths = encode_ctc_padded(words, 15)
+            imgs_k.append(np.stack(imgs))
+            labels_k.append(labels)
+            lengths_k.append(lengths)
+        # a shorter tail chunk just triggers one extra compile
+        params, stats, opt_state, loss = run_chunk(
+            params, stats, opt_state,
+            np.stack(imgs_k), np.stack(labels_k), np.stack(lengths_k))
+        done += k
+        if done % 100 < CHUNK and done >= 100:
+            print(f"  teacher iter {done}: ctc {float(loss):.3f}")
     return {"params": params, "batch_stats": stats}
 
 
