@@ -1,0 +1,75 @@
+"""Import modules from the read-only reference checkout (/root/reference).
+
+The parity suite in test_reference_parity.py needs the reference's OWN
+torch code (model/tsrn.py, model/crnn/crnn.py, loss/*, utils/ssim_psnr.py)
+rather than locally-written golden mirrors, so that any semantic drift the
+mirrors share with the rebuild is caught.
+
+The reference modules import a few packages that are not in this
+environment (IPython, torchvision); they are used only in dead paths
+(``embed()`` calls, ``__main__`` demo blocks), so minimal stub modules are
+installed in sys.modules before import.  Nothing from the reference tree is
+copied — the modules are imported in place at test time.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "model"))
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _install_stubs() -> None:
+    # IPython.embed appears at module level in most reference files but is
+    # only ever called from debug paths.
+    _stub("IPython", embed=lambda *a, **k: None)
+    # torchvision: `from torchvision import transforms` at module level in
+    # loss/*.py; transforms is only used inside `__main__` demo blocks.
+    tv = _stub("torchvision")
+    transforms = _stub("torchvision.transforms", ToTensor=object)
+    tv.transforms = transforms
+    models = _stub("torchvision.models")
+    vgg = _stub("torchvision.models.vgg", vgg16=None)
+    models.vgg = vgg
+    tv.models = models
+    # model/SEED/evaluation_metrics/metrics.py imports editdistance at module
+    # level; only the (unused-here) accuracy helpers call it.
+    _stub("editdistance", eval=lambda a, b: 0)
+    # model/SEED/utils/visualization_utils.py does `from scipy.misc import
+    # imresize`, removed from scipy years ago; give the real module a dummy.
+    try:
+        import scipy.misc as _scipy_misc
+
+        if not hasattr(_scipy_misc, "imresize"):
+            _scipy_misc.imresize = lambda *a, **k: None
+    except ImportError:
+        _stub("scipy"); _stub("scipy.misc", imresize=lambda *a, **k: None)
+
+
+def load_reference_module(name: str):
+    """Import ``name`` (e.g. 'model.tsrn') from the reference checkout."""
+    if not reference_available():
+        raise RuntimeError(f"reference checkout not found at {REFERENCE_ROOT}")
+    _install_stubs()
+    # Appended (not prepended) so the reference's generic top-level package
+    # names (model, loss, utils, dataset) can never shadow installed ones.
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    return importlib.import_module(name)

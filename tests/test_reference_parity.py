@@ -1,0 +1,446 @@
+"""END-TO-END numeric parity against the ACTUAL reference code.
+
+Round-1 parity tests compared flax modules against freshly-written torch
+golden models (tests/torch_mirror.py).  These tests close the remaining
+gap: they import the reference's OWN modules from /root/reference at test
+time (model/tsrn.py, model/crnn/crnn.py, loss/image_loss.py,
+loss/semantic_loss.py, utils/ssim_psnr.py), load identical weights on both
+sides via tpgsr_tpu.interop.torch_import, and assert:
+
+  (a) full TSRN_TL forward (eval AND train mode incl. the live STN+TPS
+      path) matches the reference to fp32 tolerance;
+  (b) the full TPGSR pipeline (parse_crnn_data -> CRNN prior -> TSRN_TL)
+      and the eval PSNR/SSIM metric math match utils/ssim_psnr.py;
+  (c) one train-step loss matches the reference train-loop composition
+      (interfaces/super_resolution.py:300-424) to the x100-scaling digit,
+      for both the flagship config (train_TPGSR-TSRN.sh: stu_iter=1
+      --sr_share --use_distill --gradient --STN) and a full-feature cascade
+      (stu_iter=2 --tpg_share --use_label --use_distill --ssim_loss).
+
+The reference's hardcoded fusion-block list (model/tsrn.py:205 `[2, 3, 4,
+5, 6]`) only works with srb_nums=5, so every test uses the real srb_nums.
+
+Nothing is copied from the reference; its modules are imported read-only.
+The only reference math re-stated here is the 4-line parse_crnn_data
+input adapter (interfaces/base.py:806-829) and the train-loop loss
+composition being verified (super_resolution.py:300-424), both cited.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from tests.reference_loader import load_reference_module, reference_available
+from tpgsr_tpu.interop import torch_import as ti
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference checkout not present"
+)
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _randomize_bn_stats(model, seed: int = 0):
+    """Give BatchNorms non-trivial running stats so eval-mode parity is a
+    real test (fresh modules have mean=0/var=1, which would hide bugs)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.normal_(0.0, 0.1, generator=g)
+            m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def _ref_tsrn_tl(srb_nums=5, hidden_units=8, out_text_channels=8, stn=False,
+                 width=128, height=32, seed=0):
+    tsrn = load_reference_module("model.tsrn")
+    torch.manual_seed(seed)
+    tm = tsrn.TSRN_TL(
+        scale_factor=2, width=width, height=height, STN=stn,
+        srb_nums=srb_nums, mask=True, hidden_units=hidden_units,
+        out_text_channels=out_text_channels,
+    )
+    _randomize_bn_stats(tm, seed)
+    return tm
+
+
+def _ref_crnn(seed=1):
+    crnn = load_reference_module("model.crnn.crnn")
+    torch.manual_seed(seed)
+    tm = crnn.CRNN(32, 1, 37, 256)  # interfaces/base.py:635
+    _randomize_bn_stats(tm, seed)
+    return tm
+
+
+def _my_tsrn_tl(srb_nums=5, hidden_units=8, out_text_channels=8, stn=False,
+                width=128, height=32):
+    from tpgsr_tpu.models.tsrn import TSRN_TL
+
+    return TSRN_TL(scale_factor=2, width=width, height=height, stn=stn,
+                   srb_nums=srb_nums, mask=True, hidden_units=hidden_units,
+                   out_text_channels=out_text_channels)
+
+
+def _parse_crnn_data_torch(imgs_nchw, width=100):
+    """interfaces/base.py:806-829: bicubic RGB->32xW then ITU-R 601 gray."""
+    x = F.interpolate(imgs_nchw[:, :3], (32, width), mode="bicubic")
+    return 0.299 * x[:, 0:1] + 0.587 * x[:, 1:2] + 0.114 * x[:, 2:3]
+
+
+# ---------------------------------------------------------------- forwards
+
+
+def test_reference_crnn_forward(rng):
+    from tpgsr_tpu.models.crnn import CRNN
+
+    tm = _ref_crnn().eval()
+    variables = ti.import_crnn(_sd(tm))
+    x = rng.random((2, 32, 100, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous()).numpy()
+    ours = np.asarray(CRNN(nclass=37).apply(variables, x, train=False))
+    assert ours.shape == ref.shape == (26, 2, 37)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_reference_tsrn_tl_eval_forward(rng):
+    """Full-size flagship TSRN_TL (srb=5, hidden=32) eval forward."""
+    tm = _ref_tsrn_tl(hidden_units=32, out_text_channels=32, stn=True).eval()
+    variables = ti.import_tsrn(_sd(tm), srb_nums=5)
+    model = _my_tsrn_tl(hidden_units=32, out_text_channels=32, stn=True)
+
+    x = rng.random((2, 16, 64, 4), dtype=np.float32)
+    prior = np.asarray(
+        torch.softmax(torch.from_numpy(
+            rng.standard_normal((2, 1, 26, 37)).astype(np.float32)), -1)
+    )
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous(),
+            torch.from_numpy(np.transpose(prior, (0, 3, 1, 2))).contiguous(),
+        ).numpy().transpose(0, 2, 3, 1)
+    ours = np.asarray(model.apply(variables, x, prior, train=False))
+    assert ours.shape == ref.shape == (2, 32, 128, 4)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_reference_tsrn_tl_train_forward_stn(rng):
+    """Train-mode forward: batch-stat BN everywhere and the LIVE STN head +
+    TPS grid-sample path (model/tsrn.py:186-188 runs STN only when
+    self.training)."""
+    tm = _ref_tsrn_tl(stn=True)
+    tm.train()
+    variables = ti.import_tsrn(_sd(tm), srb_nums=5)
+    model = _my_tsrn_tl(stn=True)
+
+    x = rng.random((2, 16, 64, 4), dtype=np.float32)
+    prior = np.asarray(
+        torch.softmax(torch.from_numpy(
+            rng.standard_normal((2, 1, 26, 37)).astype(np.float32)), -1)
+    )
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous(),
+            torch.from_numpy(np.transpose(prior, (0, 3, 1, 2))).contiguous(),
+        ).numpy().transpose(0, 2, 3, 1)
+    ours, _ = model.apply(
+        variables, x, prior, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-3)
+
+
+def test_reference_full_pipeline_eval(rng):
+    """LR image -> parse_crnn_data -> CRNN -> softmax prior -> TSRN_TL:
+    the complete TPGSR eval-time chain vs the reference's own modules
+    (super_resolution.py:311-321 + interfaces/base.py:806-829)."""
+    from tpgsr_tpu.models.crnn import CRNN
+    from tpgsr_tpu.train.priors import logits_to_prior, parse_crnn_data
+
+    t_crnn = _ref_crnn().eval()
+    t_sr = _ref_tsrn_tl().eval()
+    crnn_vars = ti.import_crnn(_sd(t_crnn))
+    sr_vars = ti.import_tsrn(_sd(t_sr), srb_nums=5)
+    my_crnn = CRNN(nclass=37)
+    my_sr = _my_tsrn_tl()
+
+    lr = rng.random((2, 16, 64, 4), dtype=np.float32)
+
+    # reference chain
+    lr_t = torch.from_numpy(np.transpose(lr, (0, 3, 1, 2))).contiguous()
+    with torch.no_grad():
+        logits_t = t_crnn(_parse_crnn_data_torch(lr_t))
+        vecs = torch.softmax(logits_t, -1)
+        prior_t = vecs.permute(1, 0, 2).unsqueeze(1).permute(0, 3, 1, 2)
+        ref = t_sr(lr_t, prior_t).numpy().transpose(0, 2, 3, 1)
+
+    # our chain (same ops the jitted eval_step uses)
+    logits = my_crnn.apply(crnn_vars, parse_crnn_data(lr, 100), train=False)
+    sr = my_sr.apply(sr_vars, lr, logits_to_prior(logits), train=False)
+    np.testing.assert_allclose(np.asarray(sr), ref, atol=5e-4)
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def test_reference_metric_math(rng):
+    """calculate_psnr + SSIM vs utils/ssim_psnr.py on 4-channel images (the
+    reference feeds the full mask-bearing tensors to cal_ssim,
+    super_resolution.py:974-975)."""
+    from tpgsr_tpu.ops.image import calculate_psnr, ssim
+
+    sp = load_reference_module("utils.ssim_psnr")
+    sr = rng.random((2, 32, 128, 4), dtype=np.float32)
+    hr = np.clip(sr + 0.05 * rng.standard_normal(sr.shape).astype(np.float32), 0, 1)
+    sr_t = torch.from_numpy(np.transpose(sr, (0, 3, 1, 2)))
+    hr_t = torch.from_numpy(np.transpose(hr, (0, 3, 1, 2)))
+
+    ref_psnr = float(sp.calculate_psnr(sr_t, hr_t))
+    ref_ssim = float(sp.SSIM()(sr_t, hr_t))
+    np.testing.assert_allclose(float(calculate_psnr(sr, hr)), ref_psnr, rtol=1e-5)
+    np.testing.assert_allclose(float(ssim(sr, hr)), ref_ssim, rtol=1e-5)
+
+
+def test_reference_eval_step_metrics(rng):
+    """The jitted eval_step's PSNR/SSIM reduce to the reference's numbers
+    (per-batch mean MSE -> PSNR; full-channel SSIM)."""
+    import jax.numpy as jnp
+
+    from tpgsr_tpu.ops.image import ssim as my_ssim
+
+    sp = load_reference_module("utils.ssim_psnr")
+    sr = rng.random((4, 32, 128, 4), dtype=np.float32)
+    hr = np.clip(sr + 0.1 * rng.standard_normal(sr.shape).astype(np.float32), 0, 1)
+
+    # eval_step computes per-sample mse/ssim; evaluate() averages the batch
+    # then converts mse->psnr (train/evaluate.py:_process)
+    diff = (sr[..., :3] - hr[..., :3]) * 255.0
+    mse = np.mean(diff * diff, axis=(1, 2, 3))
+    psnr = 20.0 * np.log10(255.0 / np.sqrt(np.mean(mse)))
+    ssim_vals = np.asarray(my_ssim(jnp.asarray(sr), jnp.asarray(hr), size_average=False))
+
+    sr_t = torch.from_numpy(np.transpose(sr, (0, 3, 1, 2)))
+    hr_t = torch.from_numpy(np.transpose(hr, (0, 3, 1, 2)))
+    np.testing.assert_allclose(psnr, float(sp.calculate_psnr(sr_t, hr_t)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(np.mean(ssim_vals)), float(sp.SSIM()(sr_t, hr_t)), rtol=1e-4
+    )
+
+
+# -------------------------------------------------------------- train step
+
+
+def _reference_train_loss(sr_models, students, teacher, batch_np, *, stu_iter,
+                          sr_share, tpg_share, use_label, use_distill,
+                          use_ssim):
+    """The reference train-loop loss composition for the ABLATION_SET path,
+    re-stated from interfaces/super_resolution.py:300-424 with the
+    reference's own loss modules."""
+    image_loss = load_reference_module("loss.image_loss")
+    semantic_loss = load_reference_module("loss.semantic_loss")
+    sp = load_reference_module("utils.ssim_psnr")
+
+    image_crit = image_loss.ImageLoss(gradient=True, loss_weight=[1, 1e-4])  # base.py:321
+    sem_loss = semantic_loss.SemanticLoss()        # super_resolution.py:38
+    ctc = torch.nn.CTCLoss(blank=0, reduction="none")  # super_resolution.py:39
+    ssim_mod = sp.SSIM()                           # super_resolution.py:41
+
+    images_hr = torch.from_numpy(np.transpose(batch_np["hr"], (0, 3, 1, 2))).contiguous()
+    images_lr = torch.from_numpy(np.transpose(batch_np["lr"], (0, 3, 1, 2))).contiguous()
+    labels = torch.from_numpy(batch_np["ctc_labels"]).long()
+    text_len = torch.from_numpy(batch_np["ctc_lengths"]).long()
+    weighted_tics = torch.from_numpy(batch_np["weighted_tics"]).float()
+    b = images_lr.shape[0]
+
+    for m in sr_models:
+        m.train()
+    for s in students:
+        s.train()
+    teacher.eval()
+
+    with torch.no_grad():
+        # frozen teacher prior from HR (super_resolution.py:297-299)
+        label_vecs_hr = torch.softmax(
+            teacher(_parse_crnn_data_torch(images_hr[:, :3])), -1
+        )
+
+        cascade_images = images_lr
+        loss_img = torch.zeros(())
+        loss_recog = torch.zeros(())
+        for i in range(stu_iter):
+            stu = students[0 if tpg_share else i]
+            logits = stu(_parse_crnn_data_torch(cascade_images[:, :3]))
+            label_vecs = torch.softmax(logits, -1)
+            label_vecs_final = (
+                label_vecs.permute(1, 0, 2).unsqueeze(1).permute(0, 3, 1, 2)
+            )
+            if use_label:  # super_resolution.py:345-365
+                pred_len = torch.full((logits.shape[1],), logits.shape[0]).long()
+                fsup = ctc(logits.log_softmax(2), labels, pred_len, text_len)
+                loss_recog = loss_recog + (fsup * weighted_tics).mean()
+            if use_distill:  # super_resolution.py:369-372
+                loss_recog = loss_recog + sem_loss(label_vecs, label_vecs_hr) * 100
+            # prior dropout of the first B//4 samples (:376-382)
+            drop_vec = torch.ones(b)
+            drop_vec[: b // 4] = 0.0
+            label_vecs_final = label_vecs_final * drop_vec.view(-1, 1, 1, 1)
+
+            cascade_images = sr_models[0 if sr_share else i](
+                images_lr, label_vecs_final
+            )
+            loss_img = loss_img + image_crit(cascade_images, images_hr).mean() * 100
+            if use_ssim:  # super_resolution.py:389-392
+                loss_img = loss_img + (1 - ssim_mod(cascade_images, images_hr).mean()) * 10.0
+        return float(loss_img + loss_recog)
+
+
+def _train_step_loss_ours(tm_srs, tm_students, tm_teacher, batch_np, *, arch_args):
+    """Build our jitted train step with the torch models' imported weights
+    and return metrics['loss_total'] of one step."""
+    import jax
+
+    from tpgsr_tpu.charset import CTC_NUM_CLASSES
+    from tpgsr_tpu.config import default_args, load_config
+    from tpgsr_tpu.models.crnn import CRNN
+    from tpgsr_tpu.models.registry import ARCHS
+    from tpgsr_tpu.train.state import create_train_state
+    from tpgsr_tpu.train.step import make_train_step
+
+    args = default_args(arch="tsrn_tl_cascade", mask=True, gradient=True, **arch_args)
+    config = load_config()
+    config.TRAIN.width, config.TRAIN.height = 128, 32
+
+    stn = bool(arch_args.get("STN", False))
+    sr_model = _my_tsrn_tl(stn=stn)
+    stu_model = CRNN(nclass=CTC_NUM_CLASSES)
+
+    b = batch_np["lr"].shape[0]
+    lr_img = np.zeros((b, 16, 64, 4), np.float32)
+    prior = np.zeros((b, 1, 26, 37), np.float32)
+    state = create_train_state(
+        jax.random.PRNGKey(0), sr_model, (lr_img, prior), n_sr=len(tm_srs),
+        stu_model=stu_model,
+        stu_example_inputs=(np.zeros((b, 32, 100, 1), np.float32),),
+        n_stu=len(tm_students),
+        teacher_variables=ti.import_crnn(_sd(tm_teacher)),
+    )
+    sr_vars = [ti.import_tsrn(_sd(m), srb_nums=5) for m in tm_srs]
+    stu_vars = [ti.import_crnn(_sd(s)) for s in tm_students]
+    state = state.replace(
+        sr_params=tuple(v["params"] for v in sr_vars),
+        sr_stats=tuple(v["batch_stats"] for v in sr_vars),
+        stu_params=tuple(v["params"] for v in stu_vars),
+        stu_stats=tuple(v["batch_stats"] for v in stu_vars),
+    )
+
+    step = make_train_step(
+        "tsrn_tl_cascade", ARCHS["tsrn_tl_cascade"], sr_model, stu_model,
+        args, config, donate=False,
+    )
+    _, metrics = step(state, batch_np)
+    return float(np.asarray(metrics["loss_total"]))
+
+
+def _make_batch(rng, b=4):
+    labels = rng.integers(1, 37, size=(b, 15)).astype(np.int32)
+    lengths = rng.integers(2, 8, size=(b,)).astype(np.int32)
+    return {
+        "hr": rng.random((b, 32, 128, 4), dtype=np.float32),
+        "lr": rng.random((b, 16, 64, 4), dtype=np.float32),
+        "ctc_labels": labels,
+        "ctc_lengths": lengths,
+        "weighted_tics": rng.random((b,)).astype(np.float32),
+    }
+
+
+def test_reference_train_step_loss_flagship(rng):
+    """train_TPGSR-TSRN.sh config: stu_iter=1 --sr_share --use_distill
+    --gradient --STN --mask.  One train-step loss_total equals the
+    reference loop's loss_im (super_resolution.py:300-424)."""
+    teacher = _ref_crnn(seed=1)
+    import copy
+
+    students = [copy.deepcopy(teacher)]  # students start from the teacher ckpt
+    sr_models = [_ref_tsrn_tl(stn=True, seed=0)]
+    batch = _make_batch(rng)
+
+    ref = _reference_train_loss(
+        sr_models, students, teacher, batch, stu_iter=1, sr_share=True,
+        tpg_share=False, use_label=False, use_distill=True, use_ssim=False,
+    )
+    ours = _train_step_loss_ours(
+        sr_models, students, teacher, batch,
+        arch_args=dict(STN=True, sr_share=True, use_distill=True, stu_iter=1),
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+
+
+def test_reference_train_step_loss_full_cascade(rng):
+    """Full-feature cascade: stu_iter=2 --tpg_share --use_label
+    --use_distill --ssim_loss --gradient (every loss term live)."""
+    teacher = _ref_crnn(seed=2)
+    import copy
+
+    students = [copy.deepcopy(teacher)]
+    sr_models = [_ref_tsrn_tl(stn=False, seed=s) for s in (3, 4)]
+    batch = _make_batch(rng)
+
+    ref = _reference_train_loss(
+        sr_models, students, teacher, batch, stu_iter=2, sr_share=False,
+        tpg_share=True, use_label=True, use_distill=True, use_ssim=True,
+    )
+    ours = _train_step_loss_ours(
+        sr_models, students, teacher, batch,
+        arch_args=dict(stu_iter=2, tpg_share=True, use_label=True,
+                       use_distill=True, ssim_loss=True),
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+
+
+# -------------------------------------------------------------------- SEED
+
+
+def test_reference_seed_teacher_forced_state0(rng):
+    """SEED's teacher-forced decode seeds the GRU state from the semantic
+    embedding (SEED attention_recognition_head.py:26-32 get_initial_state);
+    our AttentionRecognitionHead must match with state0 threaded through."""
+    from tpgsr_tpu.models.aster import AttentionRecognitionHead
+
+    arh = load_reference_module("model.SEED.models.attention_recognition_head")
+    torch.manual_seed(5)
+    tm = arh.AttentionRecognitionHead(
+        num_classes=38, in_planes=64, sDim=32, attDim=32, max_len_labels=6
+    ).eval()
+
+    feats = rng.random((2, 10, 64), dtype=np.float32)
+    embed = rng.standard_normal((2, 300)).astype(np.float32)
+    targets = np.array([[5, 9, 3, 0, 0, 0], [1, 2, 3, 4, 5, 0]], np.int32)
+    lengths = [6, 6]
+
+    with torch.no_grad():
+        ref = tm(
+            (torch.from_numpy(feats), torch.from_numpy(targets).long(), lengths),
+            torch.from_numpy(embed),
+        ).numpy()
+        # the embedding-seeded state, squeezed to [B, sDim]
+        state0 = tm.decoder.get_initial_state(torch.from_numpy(embed))[0].numpy()
+
+    sd = _sd(tm)
+    params: dict = {}
+    dec = ("decoder",)
+    for lin in ("sEmbed", "xEmbed", "wEmbed"):
+        ti._linear(params, sd, f"decoder.attention_unit.{lin}",
+                   dec + ("attention_unit", lin))
+    ti._set(params, dec + ("tgt_embedding", "embedding"),
+            sd["decoder.tgt_embedding.weight"])
+    for part, name in (("weight_ih_l0", "gru_w_ih"), ("weight_hh_l0", "gru_w_hh"),
+                       ("bias_ih_l0", "gru_b_ih"), ("bias_hh_l0", "gru_b_hh")):
+        ti._set(params, dec + (name,), sd[f"decoder.gru.{part}"])
+    ti._linear(params, sd, "decoder.fc", dec + ("fc",))
+
+    head = AttentionRecognitionHead(num_classes=38, s_dim=32, att_dim=32, max_len=6)
+    ours = np.asarray(head.apply({"params": params}, feats, targets, state0))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)

@@ -57,53 +57,78 @@ def evaluate(
 
     q: "_queue.Queue" = _queue.Queue(maxsize=2)
     _END = object()
+    stop = _threading.Event()
+
+    def _put(item) -> bool:
+        """q.put that gives up when the consumer has stopped (so the producer
+        can never block forever on an abandoned queue)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def producer():
+        loader_iter = iter(val_loader)
         try:
-            full_batch = 0  # first batch fixes the compiled shape
-            for bi, batch in enumerate(val_loader):
+            # batches are padded up to the first batch's (mesh-divisible)
+            # size so every step reuses one compiled shape; with a mesh the
+            # batch must also divide across the devices (a val set smaller
+            # than batch_size would otherwise make device_put raise)
+            mult = mesh.size if mesh is not None else 1
+            full_batch = 0
+            for bi, batch in enumerate(loader_iter):
                 if max_batches and bi >= max_batches:
                     break
                 labels = batch["labels"]
                 arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
                 b = len(labels)
-                if full_batch == 0:
-                    full_batch = b
-                elif b < full_batch:
-                    # pad the final partial batch to the compiled shape (one
-                    # compile per split); padded rows are masked out below
+                target = max(full_batch, -(-b // mult) * mult)
+                full_batch = target
+                if b < target:
+                    # padded rows are masked out below (labels has b entries)
                     arrays = {
-                        k: np.concatenate([v, np.repeat(v[-1:], full_batch - b, axis=0)])
+                        k: np.concatenate([v, np.repeat(v[-1:], target - b, axis=0)])
                         for k, v in arrays.items()
                     }
                 if mesh is not None:
                     from tpgsr_tpu.parallel import shard_batch
 
                     arrays = shard_batch(mesh, arrays)
-                q.put((bi, batch, labels, b, arrays))
-            q.put(_END)
+                if not _put((bi, batch, labels, b, arrays)):
+                    return
+            _put(_END)
         except BaseException as e:  # surfaced in the main thread
-            q.put(e)
+            _put(e)
+        finally:
+            close = getattr(loader_iter, "close", None)
+            if close is not None:
+                close()  # release loader worker pools promptly
 
     _threading.Thread(target=producer, daemon=True).start()
 
     pending = None
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        bi, batch, labels, b, arrays = item
-        dispatched = eval_step(state, arrays)  # async dispatch
-        if pending is not None:
-            _p = _process(pending, decoder, vis_dir, n_vis)
-            n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
-            for i, c in _p["stage"].items():
-                stage_correct[i] = stage_correct.get(i, 0) + c
-            psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
-            n_images += _p["n"]; n_batches += 1
-        pending = (bi, batch, labels, b) + dispatched
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            bi, batch, labels, b, arrays = item
+            dispatched = eval_step(state, arrays)  # async dispatch
+            if pending is not None:
+                _p = _process(pending, decoder, vis_dir, n_vis)
+                n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
+                for i, c in _p["stage"].items():
+                    stage_correct[i] = stage_correct.get(i, 0) + c
+                psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
+                n_images += _p["n"]; n_batches += 1
+            pending = (bi, batch, labels, b) + dispatched
+    finally:
+        stop.set()  # unblock the producer if we exit early
     if pending is not None:
         _p = _process(pending, decoder, vis_dir, n_vis)
         n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]

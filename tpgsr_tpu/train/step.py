@@ -344,7 +344,10 @@ def make_eval_step(
         # partial batch is padded to the full batch size — one compile)
         diff = (sr[..., :3] - hr[..., :3]) * 255.0
         outs["mse"] = jnp.mean(diff * diff, axis=(1, 2, 3))
-        outs["ssim"] = ssim(sr[..., :3], hr[..., :3], size_average=False)
+        # cal_ssim runs on the FULL tensors (mask channel included for the
+        # 4-channel archs) while cal_psnr slices to RGB internally
+        # (super_resolution.py:974-975, utils/ssim_psnr.py:9-15,61-66)
+        outs["ssim"] = ssim(sr, hr[..., : sr.shape[-1]], size_average=False)
         can_recognize = rec_kind != "CRNN" or state.teacher_params is not None
         if with_recognizer and can_recognize:
             for name, img in (("sr", sr), ("lr", lr), ("hr", hr)):
