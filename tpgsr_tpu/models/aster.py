@@ -152,11 +152,16 @@ class AttentionRecognitionHead(nn.Module):
     def setup(self):
         self.decoder = DecoderUnit(self.num_classes, self.s_dim, self.att_dim, name="decoder")
 
-    def __call__(self, x_btc, targets_bl):
+    def __call__(self, x_btc, targets_bl, state0=None):
         """Teacher-forced logits [B, L, num_classes] (training parity:
-        attention_recognition_head.py:26-42 feeds target[i-1] at step i)."""
+        attention_recognition_head.py:26-42 feeds target[i-1] at step i).
+
+        ``state0`` seeds the decoder GRU state — zeros for ASTER, the
+        semantic-embedding projection for SEED (SEED
+        attention_recognition_head.py:26-32 get_initial_state)."""
         b = x_btc.shape[0]
-        state0 = jnp.zeros((b, self.s_dim), x_btc.dtype)
+        if state0 is None:
+            state0 = jnp.zeros((b, self.s_dim), x_btc.dtype)
         bos = jnp.full((b,), self.num_classes, jnp.int32)
         l = targets_bl.shape[1]
         y_prevs = jnp.concatenate(

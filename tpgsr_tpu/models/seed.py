@@ -103,11 +103,9 @@ class SEEDModelBuilder(nn.Module):
             x = self.rectify(x, train=train)
         feats = self.encoder(x, train=train)
         embed = self.embeder(feats)
-        # NB: the reference's teacher-forced forward also seeds the state
-        # from the embedding; our shared head takes state0 via sample/beam —
-        # teacher-forced parity path uses zeros like ASTER's (the TPGSR eval
-        # path never trains SEED).
-        logits = self.decoder(feats, targets)
+        # seed the decoder state from the semantic embedding, like the
+        # reference (attention_recognition_head.py:26-32 get_initial_state)
+        logits = self.decoder(feats, targets, state0=self.embed_fc(embed))
         return logits, embed
 
 
