@@ -36,15 +36,36 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     return mod
 
 
+class _ToTensor:
+    """Functional torchvision.transforms.ToTensor equivalent (the reference's
+    resizeNormalize calls it on uint8 PIL images): HWC uint8 -> CHW float/255."""
+
+    def __call__(self, pic):
+        import numpy as np
+        import torch
+
+        arr = np.array(pic, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return torch.from_numpy(arr.transpose(2, 0, 1).copy()).float().div(255.0)
+
+
 def _install_stubs() -> None:
     # IPython.embed appears at module level in most reference files but is
     # only ever called from debug paths.
     _stub("IPython", embed=lambda *a, **k: None)
-    # torchvision: `from torchvision import transforms` at module level in
-    # loss/*.py; transforms is only used inside `__main__` demo blocks.
+    # torchvision: `from torchvision import transforms` at module level; the
+    # dataset collates DO call transforms.ToTensor(), so it is functional.
     tv = _stub("torchvision")
-    transforms = _stub("torchvision.transforms", ToTensor=object)
+    transforms = _stub("torchvision.transforms", ToTensor=_ToTensor)
     tv.transforms = transforms
+    utils_mod = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
+    tv.utils = utils_mod
+    # dataset/dataset.py module-level imports; the exercised collate paths
+    # never call into these.
+    _stub("cv2", cvtColor=None, COLOR_GRAY2RGB=None)
+    _stub("lmdb", open=lambda *a, **k: None)
+    _stub("pyfasttext", FastText=object)
     models = _stub("torchvision.models")
     vgg = _stub("torchvision.models.vgg", vgg16=None)
     models.vgg = vgg
@@ -54,6 +75,17 @@ def _install_stubs() -> None:
     _stub("editdistance", eval=lambda a, b: 0)
     # model/SEED/utils/visualization_utils.py does `from scipy.misc import
     # imresize`, removed from scipy years ago; give the real module a dummy.
+    # utils/utils_deblur.py uses ancient scipy aliases removed years ago
+    # (scipy.finfo); restore them as the numpy equivalents.
+    try:
+        import numpy as _np
+        import scipy as _scipy
+
+        for _name in ("finfo", "zeros", "ones"):
+            if not hasattr(_scipy, _name):
+                setattr(_scipy, _name, getattr(_np, _name))
+    except ImportError:
+        pass
     try:
         import scipy.misc as _scipy_misc
 
