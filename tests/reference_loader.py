@@ -75,6 +75,12 @@ def _install_stubs() -> None:
     _stub("editdistance", eval=lambda a, b: 0)
     # model/SEED/utils/visualization_utils.py does `from scipy.misc import
     # imresize`, removed from scipy years ago; give the real module a dummy.
+    # utils/utils_moran.py uses the pre-3.10 collections.Iterable alias
+    import collections as _collections
+    import collections.abc as _cabc
+
+    if not hasattr(_collections, "Iterable"):
+        _collections.Iterable = _cabc.Iterable
     # utils/utils_deblur.py uses ancient scipy aliases removed years ago
     # (scipy.finfo); restore them as the numpy equivalents.
     try:

@@ -390,7 +390,9 @@ def build_torch_moran(nclass=37, nh=256):
             conv = self.cnn(x)
             conv = conv.squeeze(2).permute(2, 0, 1)
             rnn = self.rnn(conv)
-            return self.attentionL2R(rnn), self.attentionR2L(torch.flip(rnn, [0]))
+            # R2L attends over the SAME features (asrn_res.py:258-260 only
+            # reverses the teacher text, which the test path never uses)
+            return self.attentionL2R(rnn), self.attentionR2L(rnn)
 
     class MORAN(nn.Module):
         def __init__(self):

@@ -236,8 +236,11 @@ class ASRN(nn.Module):
         feats = jnp.transpose(seq, (1, 0, 2))  # [T, B, h]
         out_l2r = MoranAttention(self.num_classes, self.hidden, name="attentionL2R")(feats)
         if self.bidir_decoder:
+            # the R2L decoder attends over the SAME (unreversed) features —
+            # only the teacher text is reversed in the reference
+            # (asrn_res.py:258-260: attentionR2L(rnn, length, text_rev, test))
             out_r2l = MoranAttention(self.num_classes, self.hidden, name="attentionR2L")(
-                feats[::-1]
+                feats
             )
             return out_l2r, out_r2l
         return out_l2r
