@@ -58,3 +58,101 @@ def test_lmdb_compat_with_liblmdb(tmp_path):
     env = lmdb.open(str(tmp_path), readonly=True, lock=False)
     with env.begin() as txn:
         assert txn.get(b"key-0050") == b"value-50"
+
+
+class TestMultiCommit:
+    """Multi-commit databases with freelist pages — the layout real
+    (liblmdb-written) TextZoom files have and round 1 never produced:
+    both metas live with different txnids, FREE_DBI entries in MDB_IDL
+    format, copy-on-write page reuse, non-contiguous tree pages."""
+
+    def test_second_commit_updates_and_freelist(self, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        items = [(b"key-%04d" % i, b"value-%d" % i) for i in range(200)]
+        write_lmdb(str(tmp_path), items, psize=512)
+        append_lmdb(str(tmp_path), [(b"key-%04d" % i, b"NEW-%d" % i) for i in (0, 50)]
+                    + [(b"zzz-%03d" % i, b"late-%d" % i) for i in range(40)])
+
+        with LMDBReader(str(tmp_path)) as env:
+            assert env.txnid == 2
+            assert env.get(b"key-0000") == b"NEW-0"
+            assert env.get(b"key-0050") == b"NEW-50"
+            assert env.get(b"key-0100") == b"value-100"
+            assert env.get(b"zzz-039") == b"late-39"
+            assert len(env) == 240
+            fl = env.freelist()
+            assert fl, "second commit must record freed pages"
+            assert all(pgs == sorted(pgs, reverse=True) for pgs in fl.values())
+
+    def test_mvcc_old_snapshot_still_readable(self, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        write_lmdb(str(tmp_path), [(b"a", b"1"), (b"b", b"2")])
+        append_lmdb(str(tmp_path), [(b"b", b"2x"), (b"c", b"3")])
+
+        with LMDBReader(str(tmp_path)) as live:
+            assert live.txnid == 2
+            assert live.get(b"b") == b"2x" and live.get(b"c") == b"3"
+        # the stale meta slot still exposes the previous committed snapshot
+        slots = {LMDBReader(str(tmp_path), meta_slot=s).txnid: s for s in (0, 1)}
+        old = LMDBReader(str(tmp_path), meta_slot=slots[min(slots)])
+        assert old.get(b"b") == b"2" and old.get(b"c") is None
+        old.close()
+
+    def test_third_commit_reuses_freed_pages(self, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        items = [(b"k%05d" % i, bytes([i % 251]) * 40) for i in range(500)]
+        write_lmdb(str(tmp_path), items, psize=512)
+        with LMDBReader(str(tmp_path)) as env:
+            pages_v1 = set(env.tree_pages())
+        append_lmdb(str(tmp_path), [(b"k%05d" % i, b"mid") for i in range(0, 500, 7)])
+        append_lmdb(str(tmp_path), [(b"k%05d" % i, b"fin") for i in range(0, 500, 11)])
+
+        with LMDBReader(str(tmp_path)) as env:
+            assert env.txnid == 3
+            # commit 3 must have recycled pages freed by commit 2 (= commit
+            # 1's tree) — the non-contiguous layout real files exhibit
+            pages_v3 = set(env.tree_pages())
+            assert pages_v3 & pages_v1, "no page reuse happened"
+            for i in range(500):
+                expect = (b"fin" if i % 11 == 0 else
+                          b"mid" if i % 7 == 0 else bytes([i % 251]) * 40)
+                assert env.get(b"k%05d" % i) == expect
+
+    def test_multicommit_with_overflow_values(self, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        big = lambda i: (b"img-%03d" % i, bytes(range(256)) * 8 + bytes([i]))
+        write_lmdb(str(tmp_path), [big(i) for i in range(20)], psize=512)
+        append_lmdb(str(tmp_path), [big(i) for i in range(20, 35)]
+                    + [(b"img-000", b"small-now")])
+        with LMDBReader(str(tmp_path)) as env:
+            assert env.get(b"img-000") == b"small-now"
+            for i in range(1, 35):
+                assert env.get(b"img-%03d" % i) == big(i)[1]
+
+    def test_dataset_reads_multicommit_db(self, tmp_path):
+        """The TextZoom dataset path works on a freelist-bearing database."""
+        from tests.fixtures import make_textzoom_lmdb
+        from tpgsr_tpu.data.datasets import TextZoomDataset
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        root = str(tmp_path / "tz")
+        make_textzoom_lmdb(root, n=6)
+        # re-commit a few samples (e.g. a re-run of the dataset build tool)
+        with LMDBReader(root) as env:
+            hr = env.get(b"image_hr-%09d" % 1)
+            lr = env.get(b"image_lr-%09d" % 1)
+        append_lmdb(root, [(b"label-%09d" % 1, b"patched"),
+                           (b"image_hr-%09d" % 7, hr),
+                           (b"image_lr-%09d" % 7, lr),
+                           (b"label-%09d" % 7, b"seventh"),
+                           (b"num-samples", b"7")])
+        ds = TextZoomDataset(root)
+        assert len(ds) == 7
+        _, _, label = ds[0]
+        assert label == "patched"
+        _, _, label7 = ds[6]
+        assert label7 == "seventh"

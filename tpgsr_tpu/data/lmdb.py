@@ -74,8 +74,12 @@ class LMDBReader:
         img = env.get(b"image_hr-%09d" % 1)
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, meta_slot: Optional[int] = None):
+        """``meta_slot`` (0/1) forces a specific meta page — reads the older
+        MVCC snapshot of a multi-commit database; default picks the freshest
+        (highest txnid), like liblmdb."""
         self.path = _data_file(path)
+        self._meta_slot = meta_slot
         self._f = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._parse_meta()
@@ -84,10 +88,11 @@ class LMDBReader:
     # reopen the mmap in the child (fork inherits it anyway; this covers
     # spawn and explicit pickling)
     def __getstate__(self):
-        return {"path": self.path}
+        return {"path": self.path, "meta_slot": self._meta_slot}
 
     def __setstate__(self, state):
         self.path = state["path"]
+        self._meta_slot = state.get("meta_slot")
         self._f = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._parse_meta()
@@ -108,6 +113,7 @@ class LMDBReader:
         return {
             "mapsize": mapsize,
             "psize": free_db[0],  # page size lives in FREE_DBI md_pad
+            "free": free_db,
             "main": main_db,
             "last_pg": last_pg,
             "txnid": txnid,
@@ -119,12 +125,23 @@ class LMDBReader:
         meta0 = self._read_meta(PAGEHDRSZ)
         psize = meta0["psize"] if meta0 else 4096
         meta1 = self._read_meta(psize + PAGEHDRSZ)
-        metas = [mt for mt in (meta0, meta1) if mt]
-        if not metas:
-            raise LMDBError(f"{self.path}: no valid LMDB meta page")
-        meta = max(metas, key=lambda mt: mt["txnid"])
+        metas = [meta0, meta1]
+        if self._meta_slot is not None:
+            meta = metas[self._meta_slot]
+            if meta is None:
+                raise LMDBError(f"{self.path}: meta slot {self._meta_slot} invalid")
+        else:
+            valid = [mt for mt in metas if mt]
+            if not valid:
+                raise LMDBError(f"{self.path}: no valid LMDB meta page")
+            # liblmdb picks the meta with the highest committed txnid
+            meta = max(valid, key=lambda mt: mt["txnid"])
         self.psize = meta["psize"]
+        self.txnid = meta["txnid"]
+        self.last_pg = meta["last_pg"]
         (_pad, _flags, self.depth, _bp, _lp, _op, self.entries, self.root) = meta["main"]
+        self.free_root = meta["free"][7]
+        self.free_entries = meta["free"][6]
 
     # -- page / node parsing -----------------------------------------------
 
@@ -205,11 +222,12 @@ class LMDBReader:
             else:
                 raise LMDBError(f"unexpected page flags {flags:#x}")
 
-    def items(self) -> Iterator[Tuple[bytes, bytes]]:
-        """In-order scan of all key/value pairs."""
-        if self.root == P_INVALID:
+    def items(self, root: Optional[int] = None) -> Iterator[Tuple[bytes, bytes]]:
+        """In-order scan of all key/value pairs (of the main DB by default)."""
+        root = self.root if root is None else root
+        if root == P_INVALID:
             return
-        stack: List[Tuple[int, int]] = [(self.root, 0)]
+        stack: List[Tuple[int, int]] = [(root, 0)]
         while stack:
             pgno, idx = stack.pop()
             off, flags = self._page(pgno)
@@ -226,6 +244,50 @@ class LMDBReader:
     def keys(self) -> Iterator[bytes]:
         for k, _ in self.items():
             yield k
+
+    def freelist(self) -> Dict[int, List[int]]:
+        """FREE_DBI contents: {freeing_txnid: [pgno, ...]}.
+
+        liblmdb keys the freelist by the txnid that freed the pages (native
+        little-endian u64, MDB_INTEGERKEY) with MDB_IDL values: a u64 count
+        followed by that many pgnos in descending order (mdb.c freelist /
+        midl.c layout)."""
+        out: Dict[int, List[int]] = {}
+        for k, v in self.items(root=self.free_root):
+            txn = struct.unpack("<Q", k)[0]
+            count = struct.unpack_from("<Q", v, 0)[0]
+            out[txn] = list(struct.unpack_from(f"<{count}Q", v, 8))
+        return out
+
+    def tree_pages(self, root: Optional[int] = None) -> List[int]:
+        """All page numbers reachable from ``root`` (branch/leaf/overflow) —
+        the copy-on-write append path frees exactly these."""
+        root = self.root if root is None else root
+        if root == P_INVALID:
+            return []
+        pages: List[int] = []
+        stack = [root]
+        while stack:
+            pgno = stack.pop()
+            pages.append(pgno)
+            off, flags = self._page(pgno)
+            n = self._num_keys(off)
+            if flags & P_BRANCH:
+                for i in range(n):
+                    _, child = self._branch_key_child(off, i)
+                    stack.append(child)
+            elif flags & P_LEAF:
+                for i in range(n):
+                    node_off = self._node_off(off, i)
+                    lo, hi, fl, ksize = struct.unpack_from("<HHHH", self._mm, node_off)
+                    if fl & F_BIGDATA:
+                        ov_pgno = struct.unpack_from(
+                            "<Q", self._mm, node_off + 8 + ksize
+                        )[0]
+                        ov_off = ov_pgno * self.psize
+                        npages = struct.unpack_from("<I", self._mm, ov_off + 12)[0]
+                        pages.extend(range(ov_pgno, ov_pgno + npages))
+        return pages
 
     def close(self):
         self._mm.close()
@@ -248,17 +310,39 @@ def _even(n: int) -> int:
 
 
 class _PageBuilder:
-    """Accumulates pages; page 0/1 reserved for metas."""
+    """Accumulates pages; page 0/1 reserved for metas.
 
-    def __init__(self, psize: int):
+    ``free_pool``: page numbers reclaimable from the freelist (descending,
+    like liblmdb's me_pghead).  Single-page allocations consume the pool
+    from its END (smallest pgno first, mdb_page_alloc); multi-page overflow
+    allocations search it for a consecutive run, else extend the file.
+    """
+
+    def __init__(self, psize: int, next_pgno: int = 2, free_pool: Optional[List[int]] = None):
         self.psize = psize
         self.pages: Dict[int, bytes] = {}
-        self.next_pgno = 2
+        self.next_pgno = next_pgno
+        self.free_pool = sorted(free_pool or [], reverse=True)
+        self.used_from_pool: List[int] = []
         self.n_branch = 0
         self.n_leaf = 0
         self.n_overflow = 0
 
     def alloc(self, count: int = 1) -> int:
+        if count == 1 and self.free_pool:
+            pgno = self.free_pool.pop()
+            self.used_from_pool.append(pgno)
+            return pgno
+        if count > 1 and self.free_pool:
+            # search for `count` consecutive pgnos in the (descending) pool
+            asc = self.free_pool[::-1]
+            for i in range(len(asc) - count + 1):
+                if asc[i + count - 1] == asc[i] + count - 1:
+                    run = asc[i : i + count]
+                    for p in run:
+                        self.free_pool.remove(p)
+                    self.used_from_pool.extend(run)
+                    return run[0]
         pgno = self.next_pgno
         self.next_pgno += count
         return pgno
@@ -319,24 +403,16 @@ def _branch_node(key: bytes, child_pgno: int) -> bytes:
     return head + key
 
 
-def write_lmdb(
-    path: str,
-    items: Iterable[Tuple[bytes, bytes]],
-    psize: int = 4096,
-    map_extra: int = 0,
-) -> str:
-    """Write ``items`` into ``<path>/data.mdb`` as a valid LMDB database.
-
-    Keys are sorted bytewise (LMDB's default memcmp order).  Returns the data
-    file path.
-    """
-    pairs = sorted(items, key=lambda kv: kv[0])
-    for k, _ in pairs:
-        if not (0 < len(k) <= 511):
-            raise LMDBError(f"invalid key length {len(k)}")
-
-    builder = _PageBuilder(psize)
-    nodemax = ((psize - PAGEHDRSZ) // 2) & ~1  # mirror mdb_env_init me_nodemax
+def _build_tree(
+    builder: _PageBuilder, pairs: List[Tuple[bytes, bytes]], presorted: bool = False
+) -> Tuple[int, int, Tuple[int, int, int]]:
+    """Pack sorted pairs into a B+tree; returns (root, depth, (n_branch,
+    n_leaf, n_overflow) counts for THIS tree)."""
+    b0, l0, o0 = builder.n_branch, builder.n_leaf, builder.n_overflow
+    if not presorted:
+        pairs = sorted(pairs, key=lambda kv: kv[0])
+    nodemax = ((builder.psize - PAGEHDRSZ) // 2) & ~1  # mdb_env_init me_nodemax
+    psize = builder.psize
 
     # ---- leaves ----
     leaf_entries: List[Tuple[bytes, int]] = []  # (first_key, pgno)
@@ -384,7 +460,7 @@ def write_lmdb(
                 next_level.append((first_key, pgno))
             nodes, first_key, size = [], None, PAGEHDRSZ
 
-        for i, (k, child) in enumerate(level):
+        for k, child in level:
             # LMDB stores an empty key for each branch page's first node
             node_key = b"" if not nodes else k
             node = _branch_node(node_key, child)
@@ -404,44 +480,152 @@ def write_lmdb(
     root = level[0][1] if level else P_INVALID
     if not pairs:
         depth = 0
+    return root, depth, (
+        builder.n_branch - b0, builder.n_leaf - l0, builder.n_overflow - o0
+    )
 
-    # ---- metas ----
+
+def _meta_page_bytes(
+    psize: int,
+    pgno: int,
+    txnid: int,
+    mapsize: int,
+    last_pg: int,
+    main: Tuple[int, int, Tuple[int, int, int], int],  # root, depth, counts, entries
+    free: Tuple[int, int, Tuple[int, int, int], int] = (P_INVALID, 0, (0, 0, 0), 0),
+) -> bytes:
+    buf = bytearray(psize)
+    struct.pack_into("<QHHHH", buf, 0, pgno, 0, P_META, 0, 0)
+    off = PAGEHDRSZ
+    struct.pack_into(_META_PREFIX_FMT, buf, off, MDB_MAGIC, MDB_DATA_VERSION, 0, mapsize)
+    off += _META_PREFIX_SIZE
+    f_root, f_depth, (f_b, f_l, f_o), f_entries = free
+    # FREE_DBI: md_pad carries the page size
+    struct.pack_into(_DB_FMT, buf, off, psize, 0, f_depth, f_b, f_l, f_o, f_entries, f_root)
+    off += _DB_SIZE
+    m_root, m_depth, (m_b, m_l, m_o), m_entries = main
+    struct.pack_into(_DB_FMT, buf, off, 0, 0, m_depth, m_b, m_l, m_o, m_entries, m_root)
+    off += _DB_SIZE
+    struct.pack_into("<QQ", buf, off, last_pg, txnid)
+    return bytes(buf)
+
+
+def write_lmdb(
+    path: str,
+    items: Iterable[Tuple[bytes, bytes]],
+    psize: int = 4096,
+    map_extra: int = 0,
+) -> str:
+    """Write ``items`` into ``<path>/data.mdb`` as a valid LMDB database.
+
+    Keys are sorted bytewise (LMDB's default memcmp order).  Returns the data
+    file path.  Single commit: both metas describe the same tree (txnid 0/1),
+    empty freelist — the layout liblmdb produces for a freshly created env.
+    Use :func:`append_lmdb` for further commits.
+    """
+    pairs = sorted(items, key=lambda kv: kv[0])
+    for k, _ in pairs:
+        if not (0 < len(k) <= 511):
+            raise LMDBError(f"invalid key length {len(k)}")
+
+    builder = _PageBuilder(psize)
+    root, depth, counts = _build_tree(builder, pairs, presorted=True)
+
     last_pg = builder.next_pgno - 1
-    file_pages = builder.next_pgno
-    mapsize = max(file_pages * psize + map_extra, 1 << 20)
-
-    def meta_page(pgno: int, txnid: int) -> bytes:
-        buf = bytearray(psize)
-        struct.pack_into("<QHHHH", buf, 0, pgno, 0, P_META, 0, 0)
-        off = PAGEHDRSZ
-        struct.pack_into(_META_PREFIX_FMT, buf, off, MDB_MAGIC, MDB_DATA_VERSION, 0, mapsize)
-        off += _META_PREFIX_SIZE
-        # FREE_DBI: md_pad carries page size; empty tree
-        struct.pack_into(_DB_FMT, buf, off, psize, 0, 0, 0, 0, 0, 0, P_INVALID)
-        off += _DB_SIZE
-        # MAIN_DBI
-        struct.pack_into(
-            _DB_FMT,
-            buf,
-            off,
-            0,
-            0,
-            depth,
-            builder.n_branch,
-            builder.n_leaf,
-            builder.n_overflow,
-            len(pairs),
-            root,
-        )
-        off += _DB_SIZE
-        struct.pack_into("<QQ", buf, off, last_pg, txnid)
-        return bytes(buf)
+    mapsize = max(builder.next_pgno * psize + map_extra, 1 << 20)
+    main = (root, depth, counts, len(pairs))
 
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, "data.mdb")
     with open(out, "wb") as f:
-        f.write(meta_page(0, 0))
-        f.write(meta_page(1, 1))
+        f.write(_meta_page_bytes(psize, 0, 0, mapsize, last_pg, main))
+        f.write(_meta_page_bytes(psize, 1, 1, mapsize, last_pg, main))
         for pgno in range(2, builder.next_pgno):
             f.write(builder.pages[pgno])
     return out
+
+
+def append_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]]) -> str:
+    """Commit ``items`` into an existing database copy-on-write, like a
+    liblmdb write transaction:
+
+    * new/updated tree pages are allocated from the previous freelist first
+      (smallest pgno first, consecutive-run search for overflow pages), then
+      by extending the file;
+    * every page of the old main tree and old freelist tree is recorded in
+      the new FREE_DBI under the committing txnid (MDB_IDL format: u64 count
+      + descending pgnos, little-endian u64 txnid keys);
+    * the new meta overwrites the STALE meta slot (lower txnid) and the old
+      snapshot stays readable via ``LMDBReader(path, meta_slot=...)`` — the
+      MVCC double-buffering real multi-commit files exhibit.
+
+    This reproduces the structural features of real liblmdb databases
+    (dataset/dataset.py:104-149 reads TextZoom ones): both metas live with
+    different txnids, a non-empty freelist tree, reused non-contiguous data
+    pages.  (True byte-for-byte liblmdb output can't be generated here:
+    neither the lmdb module nor liblmdb exists in this environment.)
+    """
+    data_file = _data_file(path)
+    with LMDBReader(path) as env:
+        psize = env.psize
+        txnid = env.txnid
+        merged = dict(env.items())
+        old_main_pages = env.tree_pages()
+        old_free_pages = env.tree_pages(env.free_root)
+        old_freelist = env.freelist()
+        next_pgno = env.last_pg + 1
+        m0 = env._read_meta(PAGEHDRSZ)
+        m1 = env._read_meta(psize + PAGEHDRSZ)
+        t0 = m0["txnid"] if m0 else -1
+        t1 = m1["txnid"] if m1 else -1
+        stale_slot = 0 if t0 <= t1 else 1  # overwrite the older meta
+        mapsize_old = (m0 or m1)["mapsize"]
+
+    merged.update(items)
+    pairs = sorted(merged.items(), key=lambda kv: kv[0])
+    for k, _ in pairs:
+        if not (0 < len(k) <= 511):
+            raise LMDBError(f"invalid key length {len(k)}")
+
+    # reclaimable: pages freed by transactions older than the live one
+    pool = sorted({p for pgs in old_freelist.values() for p in pgs})
+    builder = _PageBuilder(psize, next_pgno=next_pgno, free_pool=pool)
+    root, depth, counts = _build_tree(builder, pairs, presorted=True)
+
+    # freelist for the new txn: unconsumed older entries + what this commit
+    # frees (the whole previous main tree + previous freelist tree, since
+    # both were rewritten copy-on-write)
+    consumed = set(builder.used_from_pool)
+    new_freelist: Dict[int, List[int]] = {
+        t: kept
+        for t, pgs in old_freelist.items()
+        if (kept := [p for p in pgs if p not in consumed])
+    }
+    freed_now = sorted(set(old_main_pages) | set(old_free_pages), reverse=True)
+    if freed_now:
+        new_freelist[txnid + 1] = freed_now
+    free_pairs = [
+        (struct.pack("<Q", t), struct.pack(f"<{len(pgs) + 1}Q", len(pgs), *sorted(pgs, reverse=True)))
+        for t, pgs in sorted(new_freelist.items())
+    ]
+    f_root, f_depth, f_counts = _build_tree(builder, free_pairs, presorted=True)
+
+    last_pg = builder.next_pgno - 1
+    mapsize = max(mapsize_old, builder.next_pgno * psize)
+    meta = _meta_page_bytes(
+        psize, stale_slot, txnid + 1, mapsize, last_pg,
+        (root, depth, counts, len(pairs)),
+        (f_root, f_depth, f_counts, len(free_pairs)),
+    )
+
+    with open(data_file, "r+b") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        if builder.next_pgno * psize > size:
+            f.truncate(builder.next_pgno * psize)
+        for pgno, page in builder.pages.items():
+            f.seek(pgno * psize)
+            f.write(page)
+        f.seek(stale_slot * psize)
+        f.write(meta)
+    return data_file
