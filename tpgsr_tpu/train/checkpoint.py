@@ -20,6 +20,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -140,4 +141,13 @@ def restore_checkpoint(
         raw = _load(opt_path)
         opt_state = serialization.from_state_dict(state.opt_state, raw)
         state = state.replace(opt_state=opt_state)
+    if os.path.isdir(ckpt_dir_or_file):
+        # continue the iteration counter (info.json 'step'); like the Adam
+        # state this goes beyond the reference, which restarts counters
+        info_path = os.path.join(ckpt_dir_or_file, "info.json")
+        if os.path.exists(info_path):
+            with open(info_path) as f:
+                step = json.load(f).get("step")
+            if step is not None:
+                state = state.replace(step=jnp.asarray(int(step), jnp.int32))
     return state
