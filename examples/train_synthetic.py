@@ -159,6 +159,11 @@ def main():
     ap.add_argument("--workdir", default="")
     ap.add_argument("--compute-dtype", default="fp32", choices=["fp32", "bf16"],
                     help="TRAIN.compute_dtype for the TPGSR training phase")
+    ap.add_argument("--json-out", default="",
+                    help="write a machine-readable result artifact here")
+    ap.add_argument("--min-lift", type=float, default=-1.0,
+                    help="fail (exit 1) unless SR accuracy - LR accuracy "
+                         ">= this (e.g. 0.3 for the converged config)")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="tpgsr_syn_")
@@ -210,7 +215,41 @@ def main():
     # inject the freshly-trained teacher in place of crnn.pth
     mission._teacher_variables = lambda: serialization.msgpack_restore(
         open(teacher_path, "rb").read())
-    mission.train()
+    t1 = time.time()
+    state = mission.train()
+    train_secs = time.time() - t1
+
+    # --- final eval: the learning-validation artifact -----------------------
+    from tpgsr_tpu.train.evaluate import evaluate
+
+    md = evaluate(mission._eval_step, state, mission.get_val_data()[0],
+                  mesh=mission.mesh,
+                  **({"decoder": mission._decoder} if mission._decoder else {}))
+    lift = md["accuracy"] - md["accuracy_lr"]
+    result = {
+        "compute_dtype": args.compute_dtype,
+        "teacher_iters": args.teacher_iters,
+        "tpgsr_iters": args.iters,
+        "n_train": args.n_train,
+        "accuracy_lr": round(md["accuracy_lr"], 4),
+        "accuracy_sr": round(md["accuracy"], 4),
+        "accuracy_hr": round(md["accuracy_hr"], 4),
+        "sr_minus_lr": round(lift, 4),
+        "psnr": round(md["psnr_avg"], 3),
+        "ssim": round(md["ssim_avg"], 4),
+        "val_images": md["images"],
+        "train_secs": round(train_secs, 1),
+    }
+    import json
+
+    line = json.dumps(result)
+    print("RESULT", line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    if args.min_lift >= 0 and lift < args.min_lift:
+        print(f"FAIL: SR-LR lift {lift:.4f} < required {args.min_lift}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,3 +1,5 @@
+import functools
+
 import numpy as np
 import pytest
 
@@ -129,7 +131,9 @@ def test_process_loader_matches_threaded(tz_root):
     cfg = CollateConfig(mask=True)
     fn = lambda b: collate_real_wtl_amask(b, cfg)
     dl_t = DataLoader(ds, 4, fn, shuffle=True, drop_last=True, seed=3)
-    dl_p = DataLoader(ds, 4, fn, shuffle=True, drop_last=True, seed=3, num_workers=2)
+    # process workers need a picklable collate (forkserver/spawn context)
+    fn_p = functools.partial(collate_real_wtl_amask, cfg=cfg)
+    dl_p = DataLoader(ds, 4, fn_p, shuffle=True, drop_last=True, seed=3, num_workers=2)
     bt, bp = list(dl_t), list(dl_p)
     assert len(bt) == len(bp)
     for a, b in zip(bt, bp):
@@ -214,3 +218,49 @@ def test_train_step_same_loss_for_both_wire_formats(tz_root):
     _, mf = step(state, arrays(bf))
     _, mu = step(state, arrays(bu))
     assert float(np.asarray(mf["loss_total"])) == float(np.asarray(mu["loss_total"]))
+
+
+def test_process_loader_persistent_pool_and_per_epoch_reseed(tz_root):
+    """ADVICE r1: the worker pool persists across epochs (decode caches keep
+    warming, PIDs stable) and each epoch reseeds the workers' dataset RNGs
+    (MixedLMDB's HR-as-LR flips change between epochs but are deterministic
+    for a given seed)."""
+    from tpgsr_tpu.data.datasets import MixedLMDB
+
+    cfg = CollateConfig(mask=True)
+    fn = functools.partial(collate_real, cfg=cfg)
+
+    def fresh():
+        ds = MixedLMDB(tz_root, voc_type="upper")
+        return DataLoader(ds, 4, fn, shuffle=False, drop_last=True, seed=7,
+                          num_workers=2)
+
+    dl = fresh()
+    e1 = [b["lr"].copy() for b in dl]
+    pids1 = sorted(p.pid for p in dl._procs)
+    e2 = [b["lr"].copy() for b in dl]
+    pids2 = sorted(p.pid for p in dl._procs)
+    assert pids1 == pids2, "pool was torn down between epochs"
+    # per-epoch reseed: the augmentation coin flips differ between epochs
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+    # determinism: a fresh loader with the same seed replays epoch 1 exactly
+    dl2 = fresh()
+    r1 = [b["lr"].copy() for b in dl2]
+    assert all(np.array_equal(a, b) for a, b in zip(e1, r1))
+    dl.shutdown()
+    dl2.shutdown()
+
+
+def test_process_loader_abandoned_epoch_recovers(tz_root):
+    """Early consumer exit mid-epoch must not clog the persistent pool."""
+    ds = TextZoomDataset(tz_root)
+    cfg = CollateConfig(mask=True)
+    fn = functools.partial(collate_real_wtl_amask, cfg=cfg)
+    dl = DataLoader(ds, 4, fn, shuffle=True, drop_last=True, seed=3, num_workers=2)
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon mid-epoch
+    full = list(dl)  # next epoch drains stale results and works
+    assert len(full) == len(dl)
+    dl.shutdown()

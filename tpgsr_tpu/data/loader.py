@@ -10,7 +10,9 @@ axis via ``jax.device_put`` with a NamedSharding.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 import queue
+import sys
 import threading
 from typing import Callable, Dict, Iterator, Optional
 
@@ -22,12 +24,14 @@ class DataLoader:
 
     ``num_workers=0`` (default) decodes+collates on background *threads* —
     right for single-core hosts, where process fan-out only adds IPC cost.
-    ``num_workers>0`` forks that many worker *processes* (torch-DataLoader
-    style): decode/resize are GIL-serialized in CPython, so on multi-core
-    TPU hosts process workers are the only way to scale the host pipeline
-    past ~2k img/s.  Batches come back over pipes as pickled numpy arrays
-    (a few MB each); per-worker dataset state (mmap, decode cache) is
-    duplicated by the fork.
+    ``num_workers>0`` starts that many PERSISTENT worker *processes*
+    (torch-DataLoader style): decode/resize are GIL-serialized in CPython,
+    so on multi-core TPU hosts process workers are the only way to scale
+    the host pipeline past ~2k img/s.  The pool lives across epochs (each
+    worker's decode RAM cache keeps warming), uses a forkserver/spawn
+    context (safe with live JAX threads), and reseeds each worker's
+    dataset RNGs per epoch with base_seed+worker_id.  Batches come back
+    over pipes as pickled numpy arrays (a few MB each).
     """
 
     def __init__(
@@ -52,6 +56,11 @@ class DataLoader:
         self.num_threads = max(1, num_threads)
         self.num_workers = max(0, num_workers)
         self._epoch = 0
+        # persistent worker pool state (num_workers > 0)
+        self._procs: list = []
+        self._task_q = None
+        self._out_q = None
+        self._outstanding = 0  # results still owed by the pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -110,51 +119,148 @@ class DataLoader:
             stop.set()
 
     # ------------------------------------------------------------- processes
-    def _iter_processes(self, batches) -> Iterator[Dict]:
-        ctx = mp.get_context("fork")
-        task_q = ctx.Queue()
-        out_q = ctx.Queue(maxsize=max(2, self.prefetch))
-        for i, b in enumerate(batches):
-            task_q.put((i, np.asarray(b)))
-        for _ in range(self.num_workers):
-            task_q.put(None)  # one sentinel per worker
+    def _ensure_pool(self):
+        """Start the PERSISTENT worker pool once; it survives across epochs
+        so each worker's decode RAM cache keeps paying off after epoch 1.
 
-        procs = [
+        Context is forkserver (fallback spawn), never fork: the loader is
+        iterated from prefetch threads while JAX/XLA threads are live, and a
+        fork there can deadlock the child on an inherited lock.  The dataset
+        is pickled to each worker once (LMDBReader reopens its mmap on
+        unpickle)."""
+        if self._procs and all(p.is_alive() for p in self._procs):
+            return
+        self.shutdown()
+        ctx = _worker_context()
+        self._task_q = ctx.Queue()
+        self._out_q = ctx.Queue(maxsize=max(2, self.prefetch))
+        self._procs = [
             ctx.Process(
                 target=_process_worker,
-                args=(self.dataset, self.collate_fn, task_q, out_q),
+                args=(self.dataset, self.collate_fn, self._task_q, self._out_q, wid),
                 daemon=True,
             )
-            for _ in range(self.num_workers)
+            for wid in range(self.num_workers)
         ]
-        for p in procs:
+        for p in self._procs:
             p.start()
+
+    def shutdown(self):
+        """Stop the worker pool (also runs implicitly on GC; workers are
+        daemons, so an unclean exit cannot hang the process)."""
+        if self._task_q is not None:
+            for _ in self._procs:
+                try:
+                    self._task_q.put(None)
+                except Exception:
+                    pass
+        for p in self._procs:
+            p.join(timeout=2)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+        self._task_q = self._out_q = None
+        self._outstanding = 0
+
+    def __del__(self):
         try:
-            results: Dict[int, Dict] = {}
-            next_emit = 0
-            while next_emit < len(batches):
-                while next_emit not in results:
-                    i, batch = out_q.get()
-                    if isinstance(batch, Exception):
-                        raise batch
-                    results[i] = batch
-                yield results.pop(next_emit)
-                next_emit += 1
-        finally:
-            for p in procs:
-                if p.is_alive():
-                    p.terminate()
-            for p in procs:
-                p.join(timeout=5)
+            self.shutdown()
+        except Exception:
+            pass
+
+    def _iter_processes(self, batches) -> Iterator[Dict]:
+        self._ensure_pool()
+        # discard results of an abandoned previous epoch (early consumer
+        # exit leaves tasks in flight; they must be drained, not leaked,
+        # or they would interleave with this epoch's results)
+        while self._outstanding > 0:
+            self._out_q.get()
+            self._outstanding -= 1
+        # epoch base seed: workers reseed their dataset copy's RNGs with
+        # base+worker_id, torch-DataLoader style (fresh augmentation streams
+        # per worker per epoch instead of N identical forked copies)
+        base_seed = self.seed + self._epoch
+        for i, b in enumerate(batches):
+            self._task_q.put((i, np.asarray(b), base_seed))
+        self._outstanding += len(batches)
+        results: Dict[int, Dict] = {}
+        next_emit = 0
+        while next_emit < len(batches):
+            while next_emit not in results:
+                i, batch = self._get_result()
+                self._outstanding -= 1
+                if isinstance(batch, Exception):
+                    raise batch
+                results[i] = batch
+            yield results.pop(next_emit)
+            next_emit += 1
+
+    def _get_result(self):
+        """out_q.get that notices dead workers instead of hanging forever
+        (e.g. a worker OOM-killed, or a spawn-context child that failed to
+        re-import __main__)."""
+        while True:
+            try:
+                return self._out_q.get(timeout=10)
+            except queue.Empty:
+                if not all(p.is_alive() for p in self._procs):
+                    codes = [p.exitcode for p in self._procs]
+                    self.shutdown()
+                    raise RuntimeError(
+                        f"DataLoader worker process died (exitcodes {codes})"
+                    )
 
 
-def _process_worker(dataset, collate_fn, task_q, out_q) -> None:
+def _worker_context():
+    """Pick the multiprocessing start method.
+
+    forkserver (fallback spawn) by default: the loader is iterated from
+    prefetch threads while JAX/XLA threads are live, and fork() there can
+    deadlock the child on an inherited lock.  Spawn-family children must
+    re-import __main__, which is impossible for interactive/stdin programs —
+    those fall back to fork (the classic torch-DataLoader behavior)."""
+    main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+    if main_file is None or not os.path.exists(main_file):
+        return mp.get_context("fork")
+    try:
+        return mp.get_context("forkserver")
+    except ValueError:
+        return mp.get_context("spawn")
+
+
+def _reseed_dataset(ds, seed: int) -> None:
+    """Give a worker's dataset copy its own deterministic RNG streams.
+
+    Mirrors torch's base_seed+worker_id scheme; without it, forked/pickled
+    copies replay the parent's RNG state identically in every worker
+    (e.g. MixedLMDB's HR-as-LR flips, datasets.py)."""
+    import random as _random
+
+    if hasattr(ds, "reseed"):
+        ds.reseed(seed)
+        return
+    if hasattr(ds, "datasets"):  # ConcatDataset
+        for k, child in enumerate(ds.datasets):
+            _reseed_dataset(child, seed + 1000003 * (k + 1))
+        return
+    r = getattr(ds, "rng", None)
+    if isinstance(r, _random.Random):
+        ds.rng = _random.Random(seed)
+    elif isinstance(r, np.random.Generator):
+        ds.rng = np.random.default_rng(seed)
+
+
+def _process_worker(dataset, collate_fn, task_q, out_q, worker_id: int) -> None:
+    last_seed = None
     while True:
         task = task_q.get()
         if task is None:
             return
-        i, idx = task
+        i, idx, base_seed = task
         try:
+            if base_seed != last_seed:
+                _reseed_dataset(dataset, base_seed + worker_id)
+                last_seed = base_seed
             items = [dataset[int(j)] for j in idx]
             out_q.put((i, collate_fn(items)))
         except Exception as e:  # surfaced in the parent
