@@ -156,3 +156,62 @@ class TestMultiCommit:
         assert label == "patched"
         _, _, label7 = ds[6]
         assert label7 == "seventh"
+
+
+class TestNativeReader:
+    """C++ point-lookup engine (tpgsr_tpu/native/lmdb_reader.cc) — the
+    liblmdb-style native hot path — must agree with the Python walk on
+    every layout the reader supports."""
+
+    @pytest.fixture(scope="class")
+    def native(self):
+        from tpgsr_tpu.native import load_native_lmdb
+
+        lib = load_native_lmdb()
+        if lib is None:
+            pytest.skip("no C++ toolchain available")
+        return lib
+
+    def test_native_matches_python_single_commit(self, native, tmp_path):
+        items = [(b"k%06d" % i, (b"v%d-" % i) * (1 + i % 50)) for i in range(3000)]
+        write_lmdb(str(tmp_path), items, psize=512)
+        with LMDBReader(str(tmp_path)) as env:
+            assert env._native is not None
+            assert len(env._native) == len(env)
+            for k, v in items[::37]:
+                assert env.get(k) == v == env._get_py(k)
+            assert env.get(b"missing") is None is env._get_py(b"missing")
+
+    def test_native_matches_python_multicommit_overflow(self, native, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        big = bytes(range(256)) * 16  # overflow-page value
+        write_lmdb(str(tmp_path), [(b"a%03d" % i, b"x" * i) for i in range(100)],
+                   psize=512)
+        append_lmdb(str(tmp_path), [(b"big", big), (b"a050", b"patched")])
+        with LMDBReader(str(tmp_path)) as env:
+            assert env._native is not None
+            assert env.get(b"big") == big == env._get_py(b"big")
+            assert env.get(b"a050") == b"patched" == env._get_py(b"a050")
+            for i in (0, 13, 99):
+                if i != 50:
+                    assert env.get(b"a%03d" % i) == b"x" * i == env._get_py(b"a%03d" % i)
+
+    def test_native_point_lookup_faster_than_python(self, native, tmp_path):
+        import time
+
+        items = [(b"key%08d" % i, b"val%d" % i) for i in range(20000)]
+        write_lmdb(str(tmp_path), items, psize=4096)
+        with LMDBReader(str(tmp_path)) as env:
+            keys = [k for k, _ in items[::7]]
+            t0 = time.perf_counter()
+            for k in keys:
+                env._native.get(k)
+            t_native = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for k in keys:
+                env._get_py(k)
+            t_py = time.perf_counter() - t0
+        # liblmdb-style native walk should win clearly; generous margin to
+        # stay robust under CI load
+        assert t_native < t_py / 2, (t_native, t_py)

@@ -83,6 +83,20 @@ class LMDBReader:
         self._f = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._parse_meta()
+        self._native = self._open_native()
+
+    def _open_native(self):
+        """C++ point-lookup engine (tpgsr_tpu/native/lmdb_reader.cc) — the
+        liblmdb-style native hot path; None => pure-Python fallback.  Only
+        used for the default (freshest-meta) view."""
+        if self._meta_slot is not None:
+            return None
+        try:
+            from tpgsr_tpu.native import NativeLMDB
+
+            return NativeLMDB(self.path)
+        except Exception:
+            return None
 
     # picklable for multi-process DataLoader workers: ship only the path and
     # reopen the mmap in the child (fork inherits it anyway; this covers
@@ -96,6 +110,7 @@ class LMDBReader:
         self._f = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         self._parse_meta()
+        self._native = self._open_native()
 
     # -- meta --------------------------------------------------------------
 
@@ -188,6 +203,11 @@ class LMDBReader:
         return self.entries
 
     def get(self, key: bytes) -> Optional[bytes]:
+        if self._native is not None:
+            return self._native.get(key)
+        return self._get_py(key)
+
+    def _get_py(self, key: bytes) -> Optional[bytes]:
         if self.root == P_INVALID:
             return None
         pgno = self.root
@@ -290,6 +310,9 @@ class LMDBReader:
         return pages
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         self._mm.close()
         self._f.close()
 
