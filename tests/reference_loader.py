@@ -53,7 +53,9 @@ class _ToTensor:
 def _install_stubs() -> None:
     # IPython.embed appears at module level in most reference files but is
     # only ever called from debug paths.
-    _stub("IPython", embed=lambda *a, **k: None)
+    # get_ipython: torch's lazy REPL-displayhook probe calls
+    # sys.modules['IPython'].get_ipython() if the module is present
+    _stub("IPython", embed=lambda *a, **k: None, get_ipython=lambda: None)
     # torchvision: `from torchvision import transforms` at module level; the
     # dataset collates DO call transforms.ToTensor(), so it is functional.
     tv = _stub("torchvision")

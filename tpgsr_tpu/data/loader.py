@@ -58,7 +58,7 @@ class DataLoader:
         self._epoch = 0
         # persistent worker pool state (num_workers > 0)
         self._procs: list = []
-        self._task_q = None
+        self._task_qs: list = []
         self._out_q = None
         self._outstanding = 0  # results still owed by the pool
 
@@ -132,12 +132,16 @@ class DataLoader:
             return
         self.shutdown()
         ctx = _worker_context()
-        self._task_q = ctx.Queue()
+        # one task queue PER worker, filled round-robin (torch-DataLoader
+        # scheme): batch->worker assignment is deterministic, so per-worker
+        # RNG streams make augmentations reproducible for a given seed
+        self._task_qs = [ctx.Queue() for _ in range(self.num_workers)]
         self._out_q = ctx.Queue(maxsize=max(2, self.prefetch))
         self._procs = [
             ctx.Process(
                 target=_process_worker,
-                args=(self.dataset, self.collate_fn, self._task_q, self._out_q, wid),
+                args=(self.dataset, self.collate_fn, self._task_qs[wid],
+                      self._out_q, wid),
                 daemon=True,
             )
             for wid in range(self.num_workers)
@@ -148,18 +152,18 @@ class DataLoader:
     def shutdown(self):
         """Stop the worker pool (also runs implicitly on GC; workers are
         daemons, so an unclean exit cannot hang the process)."""
-        if self._task_q is not None:
-            for _ in self._procs:
-                try:
-                    self._task_q.put(None)
-                except Exception:
-                    pass
+        for q in self._task_qs or []:
+            try:
+                q.put(None)
+            except Exception:
+                pass
         for p in self._procs:
             p.join(timeout=2)
             if p.is_alive():
                 p.terminate()
         self._procs = []
-        self._task_q = self._out_q = None
+        self._task_qs = []
+        self._out_q = None
         self._outstanding = 0
 
     def __del__(self):
@@ -181,7 +185,7 @@ class DataLoader:
         # per worker per epoch instead of N identical forked copies)
         base_seed = self.seed + self._epoch
         for i, b in enumerate(batches):
-            self._task_q.put((i, np.asarray(b), base_seed))
+            self._task_qs[i % self.num_workers].put((i, np.asarray(b), base_seed))
         self._outstanding += len(batches)
         results: Dict[int, Dict] = {}
         next_emit = 0
