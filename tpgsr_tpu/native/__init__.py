@@ -26,13 +26,22 @@ _lib_tried = False
 
 
 def _build(so_path: str) -> bool:
+    """Compile to a unique temp file then atomically rename: concurrent
+    builders (e.g. freshly-spawned DataLoader workers) must never observe a
+    half-written .so."""
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", so_path, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
