@@ -77,8 +77,17 @@ def make_dataset(path: str, n: int, seed: int = 0) -> str:
     return path
 
 
-def train_teacher(ds, iters: int, batch: int, seed: int = 0):
-    """Train CRNN on HR crops with CTC (stands in for crnn.pth)."""
+def train_teacher(ds, iters: int, batch: int, seed: int = 0,
+                  resume_path: str = "", deadline: float = 0.0):
+    """Train CRNN on HR crops with CTC (stands in for crnn.pth).
+
+    Resumable: with ``resume_path`` set, progress (params, batch_stats,
+    Adam state, done-iteration count) is saved there after every chunk and
+    restored on the next call; with ``deadline`` (time.time() value) set,
+    returns early once passed.  Needed because the TPU tunnel here only
+    serves foreground processes bounded to ~10 min each.
+
+    Returns (variables, done_iters)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -89,12 +98,36 @@ def train_teacher(ds, iters: int, batch: int, seed: int = 0):
     from tpgsr_tpu.ops.ctc import ctc_loss
     from tpgsr_tpu.train.priors import parse_crnn_data
 
+    from flax import serialization
+
     model = CRNN(nclass=CTC_NUM_CLASSES)
     variables = model.init(jax.random.PRNGKey(seed), np.zeros((1, 32, 100, 1), np.float32),
                            train=True)
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
+    start_iter = 0
+    if resume_path and os.path.exists(resume_path):
+        raw = serialization.msgpack_restore(open(resume_path, "rb").read())
+        params = serialization.from_state_dict(params, raw["params"])
+        stats = serialization.from_state_dict(stats, raw["batch_stats"])
+        opt_state = serialization.from_state_dict(opt_state, raw["opt_state"])
+        start_iter = int(raw["done"])
+        print(f"  teacher resumed at iter {start_iter}")
+
+    def save_progress(done):
+        if not resume_path:
+            return
+        tree = serialization.to_state_dict({
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(stats),
+            "opt_state": jax.device_get(opt_state),
+            "done": done,
+        })
+        tmp = resume_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(tree))
+        os.replace(tmp, resume_path)
 
     def loss_fn(params, stats, imgs, labels, lengths):
         out, mut = model.apply({"params": params, "batch_stats": stats},
@@ -127,10 +160,15 @@ def train_teacher(ds, iters: int, batch: int, seed: int = 0):
     n = len(ds)
     done = 0
     while done < iters:
+        # deterministic data order: replay the consumed prefix of the RNG
+        # stream when resuming so a chunked run equals an unchunked one
         k = min(CHUNK, iters - done)
+        idx_all = [rng.integers(0, n, batch) for _ in range(k)]
+        done += k
+        if done <= start_iter:
+            continue
         imgs_k, labels_k, lengths_k = [], [], []
-        for _ in range(k):
-            idx = rng.integers(0, n, batch)
+        for idx in idx_all:
             imgs, words = [], []
             for j in idx:
                 hr, _, label = ds[int(j)]
@@ -144,10 +182,14 @@ def train_teacher(ds, iters: int, batch: int, seed: int = 0):
         params, stats, opt_state, loss = run_chunk(
             params, stats, opt_state,
             np.stack(imgs_k), np.stack(labels_k), np.stack(lengths_k))
-        done += k
         if done % 100 < CHUNK and done >= 100:
-            print(f"  teacher iter {done}: ctc {float(loss):.3f}")
-    return {"params": params, "batch_stats": stats}
+            print(f"  teacher iter {done}: ctc {float(loss):.3f}", flush=True)
+        if deadline and time.time() > deadline:
+            save_progress(done)
+            print(f"  teacher paused at iter {done} (time budget)", flush=True)
+            return {"params": params, "batch_stats": stats}, done
+    save_progress(done if iters else start_iter)
+    return {"params": params, "batch_stats": stats}, max(done, start_iter)
 
 
 def main():
@@ -164,59 +206,102 @@ def main():
     ap.add_argument("--min-lift", type=float, default=-1.0,
                     help="fail (exit 1) unless SR accuracy - LR accuracy "
                          ">= this (e.g. 0.3 for the converged config)")
+    ap.add_argument("--max-seconds", type=float, default=0.0,
+                    help="pause (exit 3) when the budget runs out; rerun the "
+                         "same command with --workdir to continue (the TPU "
+                         "tunnel only serves bounded foreground processes)")
+    ap.add_argument("--platform", default="", choices=["", "cpu"],
+                    help="'cpu' forces the CPU backend (the sitecustomize "
+                         "axon override ignores JAX_PLATFORMS, so this must "
+                         "be a config update)")
     args = ap.parse_args()
 
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    deadline = time.time() + args.max_seconds if args.max_seconds else 0.0
     work = args.workdir or tempfile.mkdtemp(prefix="tpgsr_syn_")
     os.makedirs(work, exist_ok=True)
     os.chdir(work)
-    print(f"workdir: {work}")
+    print(f"workdir: {work}", flush=True)
 
-    train_db = make_dataset(os.path.join(work, "train"), args.n_train, seed=0)
-    val_db = make_dataset(os.path.join(work, "val"), 256, seed=999)
+    train_dir = os.path.join(work, "train")
+    val_dir = os.path.join(work, "val")
+    if not os.path.exists(os.path.join(train_dir, "data.mdb")):
+        make_dataset(train_dir, args.n_train, seed=0)
+        make_dataset(val_dir, 256, seed=999)
+    train_db, val_db = train_dir, val_dir
 
     from tpgsr_tpu.data.datasets import TextZoomDataset
 
     t0 = time.time()
     teacher_ds = TextZoomDataset(train_db, voc_type="lower")
-    teacher = train_teacher(teacher_ds, args.teacher_iters, args.batch)
-    print(f"teacher trained in {time.time() - t0:.0f}s")
+    teacher_path = os.path.join(work, "teacher_progress.msgpack")
+    teacher, teacher_done = train_teacher(
+        teacher_ds, args.teacher_iters, args.batch,
+        resume_path=teacher_path, deadline=deadline,
+    )
+    if teacher_done < args.teacher_iters:
+        print(f"PAUSED teacher {teacher_done}/{args.teacher_iters}", flush=True)
+        sys.exit(3)
+    print(f"teacher ready ({teacher_done} iters, +{time.time() - t0:.0f}s this call)",
+          flush=True)
 
     from flax import serialization
 
-    teacher_path = os.path.join(work, "teacher.msgpack")
-    with open(teacher_path, "wb") as f:
-        f.write(serialization.msgpack_serialize(
-            serialization.to_state_dict({"params": teacher["params"],
-                                         "batch_stats": teacher["batch_stats"]})))
-
     # --- TPGSR training against the trained teacher -------------------------
     from tpgsr_tpu.config import default_args, load_config
-    from tpgsr_tpu.train import checkpoint as ckpt
     from tpgsr_tpu.train.trainer import TextSR
 
-    config = load_config()
-    t = config.TRAIN
-    t.train_data_dir = [train_db]
-    t.VAL.val_data_dir = [val_db]
-    t.batch_size = args.batch
-    t.epochs = max(1, (args.iters * args.batch) // args.n_train)
-    t.VAL.valInterval = max(20, args.iters // 3)
-    t.saveInterval = 10 ** 9
-    t.displayInterval = 50
-    t.ckpt_dir = os.path.join(work, "ckpt")
-    t.compute_dtype = args.compute_dtype
+    iters_per_epoch = args.n_train // args.batch
+    total_epochs = max(1, (args.iters * args.batch) // args.n_train)
+    target_step = total_epochs * iters_per_epoch
 
-    cli = default_args(
-        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True, use_label=True,
-        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
-        batch_size=args.batch, vis_dir="syn",
-    )
-    mission = TextSR(config, cli)
-    # inject the freshly-trained teacher in place of crnn.pth
-    mission._teacher_variables = lambda: serialization.msgpack_restore(
-        open(teacher_path, "rb").read())
+    def make_mission(epochs: int, resume: str = ""):
+        config = load_config()
+        t = config.TRAIN
+        t.train_data_dir = [train_db]
+        t.VAL.val_data_dir = [val_db]
+        t.batch_size = args.batch
+        t.epochs = epochs
+        t.VAL.valInterval = max(20, args.iters // 3)
+        t.saveInterval = iters_per_epoch  # checkpoint at every epoch end
+        t.displayInterval = 50
+        t.ckpt_dir = os.path.join(work, "ckpt")
+        t.compute_dtype = args.compute_dtype
+        if resume:
+            t.resume = resume
+        cli = default_args(
+            arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True,
+            use_label=True, gradient=True, sr_share=True, tpg_share=True,
+            stu_iter=1, batch_size=args.batch, vis_dir="syn",
+        )
+        mission = TextSR(config, cli)
+        # inject the freshly-trained teacher in place of crnn.pth
+        mission._teacher_variables = lambda: {
+            "params": teacher["params"], "batch_stats": teacher["batch_stats"]}
+        return mission
+
+    ckpt_dir = os.path.join(work, "ckpt", "syn")
+    resume = ckpt_dir if os.path.exists(os.path.join(ckpt_dir, "info.json")) else ""
+    mission = make_mission(1, resume)
+    state = mission.init_state()
+    step_done = int(np.asarray(state.step))
+
     t1 = time.time()
-    state = mission.train()
+    while step_done < target_step:
+        if deadline and time.time() > deadline:
+            print(f"PAUSED tpgsr {step_done}/{target_step}", flush=True)
+            sys.exit(3)
+        # one epoch per train() call keeps each slice short enough to fit
+        # the remaining budget; the mission carries the live state between
+        # calls (and the epoch-end checkpoint covers a mid-run kill)
+        mission.config.TRAIN.epochs = 1
+        state = mission.train()
+        step_done = int(np.asarray(state.step))
+        print(f"  tpgsr step {step_done}/{target_step}", flush=True)
     train_secs = time.time() - t1
 
     # --- final eval: the learning-validation artifact -----------------------

@@ -295,17 +295,21 @@ class TextSR:
 
     def _build_steps(self, with_train: bool = True):
         # eval-only paths (--go_test/--test/--demo) skip the train-step
-        # compile entirely — it is by far the most expensive trace
-        if with_train:
+        # compile entirely — it is by far the most expensive trace.
+        # Steps are built once and cached: repeated train() calls (e.g. the
+        # epoch-sliced resumable runs in examples/train_synthetic.py) must
+        # reuse the jitted functions, not retrace them.
+        if with_train and self._train_step is None:
             self._train_step = make_train_step(
                 self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
             )
-        eval_rec, decoder = self._eval_recognizer()
-        self._decoder = decoder
-        self._eval_step = make_eval_step(
-            self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config,
-            eval_rec=eval_rec,
-        )
+        if getattr(self, "_eval_step", None) is None:
+            eval_rec, decoder = self._eval_recognizer()
+            self._decoder = decoder
+            self._eval_step = make_eval_step(
+                self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config,
+                eval_rec=eval_rec,
+            )
 
     # ----------------------------------------------------------------- train
     def train(self):
