@@ -154,6 +154,12 @@ def _bench_train() -> float:
     return BATCH / per_step
 
 
+def _train_dtype() -> str:
+    from tpgsr_tpu.config import load_config
+
+    return str(load_config().TRAIN.get("compute_dtype", "fp32"))
+
+
 def main() -> None:
     infer_ips = _bench_inference()
     train_ips = _bench_train()
@@ -166,6 +172,7 @@ def main() -> None:
                 "vs_baseline": round(infer_ips / BASELINE_V100_INFER_IPS, 2),
                 "train_images_per_sec": round(train_ips, 2),
                 "train_vs_baseline": round(train_ips / BASELINE_V100_TRAIN_IPS, 2),
+                "train_dtype": _train_dtype(),
                 "baseline_basis": "derived V100 estimate (docs/baseline_derivation.md)",
             }
         )

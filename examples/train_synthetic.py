@@ -199,8 +199,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-train", type=int, default=1500)
     ap.add_argument("--workdir", default="")
-    ap.add_argument("--compute-dtype", default="fp32", choices=["fp32", "bf16"],
-                    help="TRAIN.compute_dtype for the TPGSR training phase")
+    ap.add_argument("--compute-dtype", default="", choices=["", "fp32", "bf16"],
+                    help="TRAIN.compute_dtype for the TPGSR training phase "
+                         "(default: inherit the framework default from "
+                         "configs/super_resolution.yaml)")
     ap.add_argument("--json-out", default="",
                     help="write a machine-readable result artifact here")
     ap.add_argument("--min-lift", type=float, default=-1.0,
@@ -270,7 +272,8 @@ def main():
         t.saveInterval = iters_per_epoch  # checkpoint at every epoch end
         t.displayInterval = 50
         t.ckpt_dir = os.path.join(work, "ckpt")
-        t.compute_dtype = args.compute_dtype
+        if args.compute_dtype:
+            t.compute_dtype = args.compute_dtype
         if resume:
             t.resume = resume
         cli = default_args(
@@ -312,7 +315,7 @@ def main():
                   **({"decoder": mission._decoder} if mission._decoder else {}))
     lift = md["accuracy"] - md["accuracy_lr"]
     result = {
-        "compute_dtype": args.compute_dtype,
+        "compute_dtype": str(mission.config.TRAIN.get("compute_dtype", "fp32")),
         "teacher_iters": args.teacher_iters,
         "tpgsr_iters": args.iters,
         "n_train": args.n_train,

@@ -312,6 +312,7 @@ def _train_step_loss_ours(tm_srs, tm_students, tm_teacher, batch_np, *, arch_arg
     args = default_args(arch="tsrn_tl_cascade", mask=True, gradient=True, **arch_args)
     config = load_config()
     config.TRAIN.width, config.TRAIN.height = 128, 32
+    config.TRAIN.compute_dtype = "fp32"  # the torch reference loop is fp32
 
     stn = bool(arch_args.get("STN", False))
     sr_model = _my_tsrn_tl(stn=stn)

@@ -195,6 +195,7 @@ def test_bf16_train_step_close_to_fp32():
                              config, donate=False)
     config32 = load_config()
     config32.TRAIN.width, config32.TRAIN.height = W * 2, H * 2
+    config32.TRAIN.compute_dtype = "fp32"  # default is bf16; pin the fp32 arm
     step32 = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args,
                              config32, donate=False)
     batch = _batch()

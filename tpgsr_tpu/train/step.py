@@ -72,10 +72,13 @@ def _crnn_width(cfg_width: int) -> int:
 
 def _as_image(arr, dtype):
     """Batch image -> compute dtype in [0,1].  uint8 wire format (the
-    compact collate output) is divided by 255 here, on device — bit-identical
-    to host-side normalization since PIL decodes to uint8 either way."""
+    compact collate output) is divided by 255 here, on device.  The divide
+    happens in fp32 regardless of the compute dtype so the uint8 wire stays
+    bit-identical to host-side fp32 normalization (PIL decodes to uint8
+    either way); only the final cast is in bf16 — the same rounding the
+    float wire path gets."""
     if arr.dtype == jnp.uint8:
-        return arr.astype(dtype) / jnp.asarray(255.0, dtype)
+        return (arr.astype(jnp.float32) / 255.0).astype(dtype)
     return arr.astype(dtype)
 
 
