@@ -74,21 +74,21 @@ def _median_diff(f1, f2, args, n1, n2, trials) -> float:
     return float(np.median(est))
 
 
-def _bench_inference() -> float:
+def _bench_inference(batch: int = BATCH, n2: int = N2, trials: int = TRIALS) -> float:
     import jax
 
     from __graft_entry__ import _flagship
 
-    forward, sr_vars, stu_vars, lr_img = _flagship(batch=BATCH)
+    forward, sr_vars, stu_vars, lr_img = _flagship(batch=batch)
     lr = jax.device_put(np.random.default_rng(0).random(lr_img.shape).astype(np.float32))
 
     f1 = _chained(forward, N1)
-    f2 = _chained(forward, N2)
+    f2 = _chained(forward, n2)
     args = (sr_vars, stu_vars, lr)
     float(np.asarray(f1(*args)))  # compile + warm
     float(np.asarray(f2(*args)))
-    per_forward = _median_diff(f1, f2, args, N1, N2, TRIALS)
-    return BATCH / per_forward
+    per_forward = _median_diff(f1, f2, args, N1, n2, trials)
+    return batch / per_forward
 
 
 def _bench_train() -> float:
@@ -161,7 +161,18 @@ def _train_dtype() -> str:
 
 
 def main() -> None:
+    import os
+
     infer_ips = _bench_inference()
+    # batch 512 (the YAML default TRAIN.batch_size) as a secondary datapoint.
+    # Measured 2026-08-17: 6.8k img/s — *lower* than batch 48's 12k (the GRU
+    # scans do NOT amortize; layout copies scale with batch).  Off by
+    # default: the driver's bench budget is tight through the tunnel, and
+    # batch 48 is both the canonical config and the faster point.  Record
+    # lives in docs/perf_notes.md.
+    infer512_ips = (
+        _bench_inference(batch=512, n2=9, trials=3) if os.environ.get("BENCH_B512") else None
+    )
     train_ips = _bench_train()
     print(
         json.dumps(
@@ -170,6 +181,11 @@ def main() -> None:
                 "value": round(infer_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(infer_ips / BASELINE_V100_INFER_IPS, 2),
+                **(
+                    {"infer_images_per_sec_batch512": round(infer512_ips, 2)}
+                    if infer512_ips is not None
+                    else {}
+                ),
                 "train_images_per_sec": round(train_ips, 2),
                 "train_vs_baseline": round(train_ips / BASELINE_V100_TRAIN_IPS, 2),
                 "train_dtype": _train_dtype(),
