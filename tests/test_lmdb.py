@@ -158,6 +158,74 @@ class TestMultiCommit:
         assert label7 == "seventh"
 
 
+class TestRandomizedModel:
+    """Seeded fuzz of the full engine against a dict model: random commit
+    sequences with key/value sizes spanning inline and overflow pages,
+    updates and fresh inserts, verified via point lookups (python AND
+    native engines), full ordered scans, and MVCC stale-slot snapshots."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_commits_match_dict_model(self, seed, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        rnd = random.Random(seed)
+
+        def rand_kv():
+            klen = rnd.randint(1, 60)
+            key = bytes(rnd.getrandbits(8) for _ in range(klen))
+            vlen = rnd.choice([0, rnd.randint(1, 80), rnd.randint(200, 600),
+                               rnd.randint(2000, 9000)])
+            return key, bytes(rnd.getrandbits(8) for _ in range(vlen))
+
+        model = {}
+        first = dict(rand_kv() for _ in range(rnd.randint(50, 300)))
+        model.update(first)
+        write_lmdb(str(tmp_path), list(first.items()), psize=512)
+
+        prev_model = None
+        for _commit in range(rnd.randint(2, 4)):
+            batch = {}
+            # mix of updates to existing keys and fresh inserts
+            for k in rnd.sample(sorted(model), k=min(len(model), rnd.randint(5, 40))):
+                batch[k] = rand_kv()[1]
+            for _ in range(rnd.randint(5, 120)):
+                k, v = rand_kv()
+                batch[k] = v
+            prev_model = dict(model)
+            model.update(batch)
+            append_lmdb(str(tmp_path), list(batch.items()))
+
+        with LMDBReader(str(tmp_path)) as env:
+            assert len(env) == len(model)
+            # ordered full scan == sorted model
+            scanned = list(env.items())
+            assert [k for k, _ in scanned] == sorted(model)
+            assert all(model[k] == v for k, v in scanned)
+            # point lookups on both engines, hits and misses
+            probe = rnd.sample(sorted(model), k=min(len(model), 100))
+            for k in probe:
+                assert env._get_py(k) == model[k]
+                if env._native is not None:
+                    assert env._native.get(k) == model[k]
+            for _ in range(20):
+                k, _ = rand_kv()
+                if k not in model:
+                    assert env.get(k) is None
+            live_txn = env.txnid
+            # freed pages stay within the file and out of the live tree
+            live_pages = set(env.tree_pages())
+            for pgs in env.freelist().values():
+                assert not (set(pgs) & live_pages)
+
+        # the stale meta slot is exactly the previous commit's snapshot
+        slots = {LMDBReader(str(tmp_path), meta_slot=s).txnid: s for s in (0, 1)}
+        old = LMDBReader(str(tmp_path), meta_slot=slots[live_txn - 1])
+        assert len(old) == len(prev_model)
+        for k in rnd.sample(sorted(prev_model), k=min(len(prev_model), 50)):
+            assert old._get_py(k) == prev_model[k]
+        old.close()
+
+
 class TestNativeReader:
     """C++ point-lookup engine (tpgsr_tpu/native/lmdb_reader.cc) — the
     liblmdb-style native hot path — must agree with the Python walk on

@@ -148,6 +148,35 @@ def test_partial_final_batch_padded_eval(tmp_path, monkeypatch):
 
     md = evaluate(mission._eval_step, state, mission.get_val_data()[0])
     assert md["images"] == 12
+
+
+def test_tiny_val_set_on_mesh_eval(tmp_path, monkeypatch):
+    """A val set SMALLER than batch_size on a multi-device mesh: the batch
+    must be padded up to a device-count multiple before shard_batch or
+    device_put raises (advisor round-1 medium finding, evaluate.py:76-99)."""
+    import jax
+
+    from tests.fixtures import make_textzoom_lmdb
+    from tpgsr_tpu.parallel import data_mesh
+
+    db = make_textzoom_lmdb(str(tmp_path / "tz5"), n=5)  # 5 < batch 8, !% 8
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [db]
+    t.VAL.val_data_dir = [db]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8,
+                        vis_dir="tinyval", go_test=True)
+    mission = TextSR(config, args)
+    state = mission.init_state()
+    mission._build_steps(with_train=False)
+    from tpgsr_tpu.train.evaluate import evaluate
+
+    mesh = data_mesh(len(jax.devices()))
+    md = evaluate(mission._eval_step, state, mission.get_val_data()[0], mesh=mesh)
+    assert md["images"] == 5
     assert np.isfinite(md["psnr_avg"]) and md["psnr_avg"] > 0
 
 
