@@ -445,3 +445,77 @@ def test_reference_seed_teacher_forced_state0(rng):
     head = AttentionRecognitionHead(num_classes=38, s_dim=32, att_dim=32, max_len=6)
     ours = np.asarray(head.apply({"params": params}, feats, targets, state0))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# OPT ("clova") full pipeline vs the reference's own model/crnn/model.py
+# ---------------------------------------------------------------------------
+
+
+def _patch_ref_cuda(monkeypatch):
+    """The reference's clova modules hard-code CUDA tensors
+    (modules/prediction.py:18,32-47; modules/transformation.py:151-152);
+    redirect them to CPU so the reference code runs under torch-CPU."""
+    monkeypatch.setattr(torch.cuda, "FloatTensor", torch.FloatTensor, raising=False)
+    monkeypatch.setattr(torch.cuda, "LongTensor", torch.LongTensor, raising=False)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False)
+
+
+def _randomize_params(model, seed=0, scale=0.05):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.uniform_(-scale, scale, generator=g)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(Transformation="TPS", FeatureExtraction="VGG",
+         SequenceModeling="BiLSTM", Prediction="Attn", num_class=38),
+    dict(Transformation="TPS", FeatureExtraction="ResNet",
+         SequenceModeling="None", Prediction="CTC", num_class=37),
+    dict(Transformation="None", FeatureExtraction="VGG",
+         SequenceModeling="BiLSTM", Prediction="CTC", num_class=37),
+], ids=["tps-vgg-bilstm-attn", "tps-resnet-none-ctc", "none-vgg-bilstm-ctc"])
+def test_reference_opt_full_pipeline(rng, monkeypatch, cfg):
+    """Weight-for-weight forward parity of OPTModelFull against the
+    reference's own clova Model (model/crnn/model.py:25-95) across the
+    Trans/Feat/Seq/Pred stage grid, including the NAVER TPS grid math and
+    the greedy attention decode."""
+    from types import SimpleNamespace
+
+    from tpgsr_tpu.models.opt_tpg import OPTModelFull
+
+    _patch_ref_cuda(monkeypatch)
+    ref_model = load_reference_module("model.crnn.model")
+    opt = SimpleNamespace(
+        num_fiducial=20, imgH=32, imgW=100, input_channel=1,
+        output_channel=64, hidden_size=32, batch_max_length=25, **cfg,
+    )
+    tm = ref_model.Model(opt).eval()
+    _randomize_params(tm, seed=3)
+    _randomize_bn_stats(tm, seed=4)
+
+    x = rng.random((2, 32, 100, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                 text=None, is_train=False).numpy()
+
+    ours_model = OPTModelFull(
+        nclass=opt.num_class,
+        transformation=cfg["Transformation"],
+        feature_extraction=cfg["FeatureExtraction"],
+        sequence_modeling=cfg["SequenceModeling"],
+        prediction=cfg["Prediction"],
+        output_channel=opt.output_channel,
+        hidden_size=opt.hidden_size,
+    )
+    variables = ti.import_opt_full(
+        _sd(tm),
+        transformation=cfg["Transformation"],
+        feature_extraction=cfg["FeatureExtraction"],
+        sequence_modeling=cfg["SequenceModeling"],
+        prediction=cfg["Prediction"],
+    )
+    got = np.asarray(ours_model.apply(variables, x, train=False))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4)

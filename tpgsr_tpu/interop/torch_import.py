@@ -286,14 +286,8 @@ def import_moran(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def import_opt(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """Map the clova None-ResNet-None-CTC state_dict
-    (None-ResNet-None-CTC.pth, model/crnn/model.py:25-95) onto
-    models.opt_tpg.OPTModel."""
-    params: Dict = {}
-    stats: Dict = {}
-    fe = ("FeatureExtraction",)
-    base = "FeatureExtraction.ConvNet"
+def _import_fan_resnet(params: Dict, stats: Dict, sd: Dict, base: str, fe: Tuple[str, ...]):
+    """FAN ResNet [1,2,5,3] (modules/feature_extraction.py:54-246) -> ResNetFAN."""
 
     def conv_bn(tp_conv, tp_bn, name):
         _conv(params, sd, f"{base}.{tp_conv}", fe + (f"{name}_conv",))
@@ -317,6 +311,77 @@ def import_opt(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             conv_bn(f"conv{si}", f"bn{si}", f"conv{si}")
     conv_bn("conv4_1", "bn4_1", "conv4_1")
     conv_bn("conv4_2", "bn4_2", "conv4_2")
+
+
+def import_opt(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the clova None-ResNet-None-CTC state_dict
+    (None-ResNet-None-CTC.pth, model/crnn/model.py:25-95) onto
+    models.opt_tpg.OPTModel."""
+    params: Dict = {}
+    stats: Dict = {}
+    _import_fan_resnet(params, stats, sd, "FeatureExtraction.ConvNet", ("FeatureExtraction",))
     _set(params, ("Prediction", "kernel"), linear_w(sd["Prediction.weight"]))
     _set(params, ("Prediction", "bias"), sd["Prediction.bias"])
+    return {"params": params, "batch_stats": stats}
+
+
+def import_opt_full(
+    sd: Dict[str, np.ndarray],
+    transformation: str = "None",
+    feature_extraction: str = "ResNet",
+    sequence_modeling: str = "None",
+    prediction: str = "CTC",
+) -> Dict[str, Any]:
+    """Map any clova ``Model`` configuration's state_dict
+    (model/crnn/model.py:25-95) onto models.opt_tpg.OPTModelFull.
+
+    Covers the full stage grid: Trans in {None, TPS} (transformation.py:7-78),
+    Feat in {VGG, ResNet} (feature_extraction.py:5-28, 54-246), Seq in
+    {None, BiLSTM} (sequence_modeling.py:4-20), Pred in {CTC, Attn}
+    (prediction.py:6-80)."""
+    params: Dict = {}
+    stats: Dict = {}
+    if transformation == "TPS":
+        tr = ("Transformation",)
+        loc = "Transformation.LocalizationNetwork"
+        # conv Sequential: Conv at 0/4/8/12, BN at 1/5/9/13 (transformation.py:44-54)
+        for i, (ci, bi) in enumerate(((0, 1), (4, 5), (8, 9), (12, 13))):
+            _conv(params, sd, f"{loc}.conv.{ci}", tr + (f"conv{i}",))
+            _bn(params, stats, sd, f"{loc}.conv.{bi}", tr + (f"bn{i}",))
+        _linear(params, sd, f"{loc}.localization_fc1.0", tr + ("fc1",))
+        _set(params, tr + ("fc2_kernel",), linear_w(sd[f"{loc}.localization_fc2.weight"]))
+        _set(params, tr + ("fc2_bias",), sd[f"{loc}.localization_fc2.bias"])
+    fe = ("FeatureExtraction",)
+    base = "FeatureExtraction.ConvNet"
+    if feature_extraction == "VGG":
+        # Sequential: Conv at 0/3/6/8/11/14/18, BN at 12/15 (feature_extraction.py:12-25)
+        for name, ci in (("conv0", 0), ("conv1", 3), ("conv2", 6), ("conv3", 8),
+                         ("conv4", 11), ("conv5", 14), ("conv6", 18)):
+            _conv(params, sd, f"{base}.{ci}", fe + (name,))
+        _bn(params, stats, sd, f"{base}.12", fe + ("bn4",))
+        _bn(params, stats, sd, f"{base}.15", fe + ("bn5",))
+    else:
+        _import_fan_resnet(params, stats, sd, base, fe)
+    if sequence_modeling == "BiLSTM":
+        for i in range(2):
+            tp = f"SequenceModeling.{i}"
+            for part in ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0",
+                         "weight_ih_l0_reverse", "weight_hh_l0_reverse",
+                         "bias_ih_l0_reverse", "bias_hh_l0_reverse"):
+                _set(params, (f"seq{i}", part.replace("weight", "w").replace("bias", "b")),
+                     sd[f"{tp}.rnn.{part}"])
+            _linear(params, sd, f"{tp}.linear", (f"seq{i}_embedding",))
+    if prediction == "Attn":
+        pr = ("Prediction",)
+        cell = "Prediction.attention_cell"
+        _linear(params, sd, f"{cell}.i2h", pr + ("i2h",))
+        _linear(params, sd, f"{cell}.h2h", pr + ("h2h",))
+        _linear(params, sd, f"{cell}.score", pr + ("score",))
+        for part, ours in (("weight_ih", "lstm_w_ih"), ("weight_hh", "lstm_w_hh"),
+                           ("bias_ih", "lstm_b_ih"), ("bias_hh", "lstm_b_hh")):
+            _set(params, pr + (ours,), sd[f"{cell}.rnn.{part}"])
+        _linear(params, sd, "Prediction.generator", pr + ("generator",))
+    else:
+        _set(params, ("Prediction", "kernel"), linear_w(sd["Prediction.weight"]))
+        _set(params, ("Prediction", "bias"), sd["Prediction.bias"])
     return {"params": params, "batch_stats": stats}

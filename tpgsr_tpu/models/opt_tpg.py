@@ -127,14 +127,15 @@ class VGGFeatureExtractor(nn.Module):
         x = nn.max_pool(x, (2, 2), (2, 2))
         x = nn.relu(TorchConv(oc[2], (3, 3), padding=(1, 1), name="conv2")(x))
         x = nn.relu(TorchConv(oc[2], (3, 3), padding=(1, 1), name="conv3")(x))
-        x = nn.max_pool(x, (2, 2), (2, 1), padding=((0, 0), (0, 0)))
+        # MaxPool2d((2,1),(2,1)): halve H only, W window 1 (feature_extraction.py:19)
+        x = nn.max_pool(x, (2, 1), (2, 1))
         x = TorchConv(oc[3], (3, 3), padding=(1, 1), use_bias=False, name="conv4")(x)
         x = BatchNorm(name="bn4")(x, use_running_average=not train)
         x = nn.relu(x)
         x = TorchConv(oc[3], (3, 3), padding=(1, 1), use_bias=False, name="conv5")(x)
         x = BatchNorm(name="bn5")(x, use_running_average=not train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), (2, 1), padding=((0, 0), (0, 0)))
+        x = nn.max_pool(x, (2, 1), (2, 1))
         return nn.relu(TorchConv(oc[3], (2, 2), name="conv6")(x))
 
 
@@ -204,11 +205,49 @@ class OPTAttention(nn.Module):
         return jnp.stack(outs, 1)
 
 
+def _naver_tps_constants(f: int, h: int, w: int):
+    """The RARE GridGenerator's trace-time constants
+    (modules/transformation.py:81-144): ``inv_delta_C`` [F+3, F+3] from the
+    fixed rectified-image fiducials C (x in [-1,1], y = ∓1), and ``P_hat``
+    [H*W, F+3] evaluating the TPS radial basis r²·log(r+1e-6) at every
+    output pixel center ((2k+1)/size - 1, the align_corners=False grid)."""
+    import numpy as np
+
+    half = f // 2
+    ctrl_x = np.linspace(-1.0, 1.0, half)
+    c = np.concatenate(
+        [np.stack([ctrl_x, -np.ones(half)], 1), np.stack([ctrl_x, np.ones(half)], 1)], 0
+    )  # F x 2
+    # inv_delta_C (transformation.py:105-125)
+    hat_c = np.linalg.norm(c[:, None, :] - c[None, :, :], axis=2)
+    np.fill_diagonal(hat_c, 1.0)
+    hat_c = (hat_c ** 2) * np.log(hat_c)
+    delta_c = np.concatenate(
+        [
+            np.concatenate([np.ones((f, 1)), c, hat_c], 1),
+            np.concatenate([np.zeros((2, 3)), c.T], 1),
+            np.concatenate([np.zeros((1, 3)), np.ones((1, f))], 1),
+        ],
+        0,
+    )
+    inv_delta_c = np.linalg.inv(delta_c)
+    # P_hat (transformation.py:127-144); P ordered row-major over (y, x)
+    gx = (np.arange(-w, w, 2) + 1.0) / w
+    gy = (np.arange(-h, h, 2) + 1.0) / h
+    p = np.stack(np.meshgrid(gx, gy), axis=2).reshape(-1, 2)  # (H*W) x 2
+    r = np.linalg.norm(p[:, None, :] - c[None, :, :], axis=2)
+    rbf = np.square(r) * np.log(r + 1e-6)
+    p_hat = np.concatenate([np.ones((h * w, 1)), p, rbf], 1)
+    return inv_delta_c.astype("float32"), p_hat.astype("float32")
+
+
 class TPSTransformation(nn.Module):
-    """RARE/NAVER TPS STN (modules/transformation.py:7-60):
-    LocalizationNetwork (4 conv-BN-ReLU stages + global pool + FC256 + FC to
-    F*2 fiducials, zero weights / border-grid bias) followed by a TPS warp
-    to the same size — expressed through our precomputed-kernel TPS."""
+    """RARE/NAVER TPS STN, exact to modules/transformation.py:7-155:
+    LocalizationNetwork (4 conv-BN-ReLU stages + 3 maxpools + global avg pool
+    + FC256 + FC to F*2 fiducials with zero weights and the fan-shaped bias
+    of transformation.py:62-68), GridGenerator TPS solve against precomputed
+    ``inv_delta_C``/``P_hat``, then a border-padded bilinear grid_sample
+    (transformation.py:32, padding_mode='border')."""
 
     num_fiducial: int = 20
     i_size: tuple = (32, 100)
@@ -217,7 +256,7 @@ class TPSTransformation(nn.Module):
     def __call__(self, x, train: bool = False):
         import numpy as np
 
-        from tpgsr_tpu.models.stn import TPSSpatialTransformer
+        from tpgsr_tpu.ops.grid_sample import grid_sample
 
         v = x
         for i, ch in enumerate((64, 128, 256, 512)):
@@ -226,21 +265,26 @@ class TPSTransformation(nn.Module):
             v = nn.relu(v)
             if i < 3:
                 v = nn.max_pool(v, (2, 2), (2, 2))
-        v = jnp.mean(v, axis=(1, 2))  # adaptive avg pool to 1x1
+        v = jnp.mean(v, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         v = nn.relu(TorchLinear(256, name="fc1")(v))
         f = self.num_fiducial
-        # fc2: zero weights, bias = border fiducial grid (transformation.py:59-76)
+        # fc2: zero weights; bias = fan init x∈[-1,1], y_top=linspace(0,-1),
+        # y_bottom=linspace(1,0) (transformation.py:59-68)
         half = f // 2
-        ctrl_x = np.linspace(0.05, 0.95, half)
-        top = np.stack([ctrl_x, np.full(half, 0.05)], 1)
-        bot = np.stack([ctrl_x, np.full(half, 0.95)], 1)
+        ctrl_x = np.linspace(-1.0, 1.0, half)
+        top = np.stack([ctrl_x, np.linspace(0.0, -1.0, half)], 1)
+        bot = np.stack([ctrl_x, np.linspace(1.0, 0.0, half)], 1)
         bias_init = np.concatenate([top, bot], 0).reshape(-1).astype(np.float32)
         w2 = self.param("fc2_kernel", nn.initializers.zeros, (256, f * 2))
         b2 = self.param("fc2_bias", lambda k, s: jnp.asarray(bias_init), (f * 2,))
-        pts = (v @ w2 + b2).reshape(-1, f, 2)
-        tps = TPSSpatialTransformer(self.i_size, num_control_points=f, margins=(0.05, 0.05))
-        out, _ = tps(x, pts)
-        return out
+        pts = (v @ w2 + b2).reshape(-1, f, 2)  # batch_C_prime [B, F, 2]
+        h, w = self.i_size
+        inv_delta_c, p_hat = _naver_tps_constants(f, h, w)
+        cp = jnp.concatenate([pts, jnp.zeros((pts.shape[0], 3, 2), pts.dtype)], 1)
+        t = jnp.einsum("ij,bjk->bik", jnp.asarray(inv_delta_c), cp)  # [B, F+3, 2]
+        grid = jnp.einsum("nj,bjk->bnk", jnp.asarray(p_hat), t)
+        grid = grid.reshape(pts.shape[0], h, w, 2)
+        return grid_sample(x, grid, align_corners=False, padding_mode="border")
 
 
 class OPTModelFull(nn.Module):
