@@ -63,6 +63,14 @@ def _install_stubs() -> None:
     tv.transforms = transforms
     utils_mod = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
     tv.utils = utils_mod
+    # model/srcnn.py imports torchvision.datasets and matplotlib.pyplot at
+    # module level; both are only used in dead demo paths.
+    tv.datasets = _stub("torchvision.datasets", ImageFolder=None)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        mpl = _stub("matplotlib")
+        mpl.pyplot = _stub("matplotlib.pyplot", figure=None, imshow=None, show=None)
     # dataset/dataset.py module-level imports; the exercised collate paths
     # never call into these.
     _stub("cv2", cvtColor=None, COLOR_GRAY2RGB=None)

@@ -138,9 +138,7 @@ def import_tsrn(sd: Dict[str, np.ndarray], srb_nums: int = 5, tl: bool = True) -
         grublock(f"{tp}.gru2", fp + ("gru2",))
 
     if tl and "infoGen.tconv1.weight" in sd:
-        for k in (1, 2, 3, 4):
-            _convT(params, sd, f"infoGen.tconv{k}", ("infoGen", f"tconv{k}"))
-            _bn(params, stats, sd, f"infoGen.bn{k}", ("infoGen", f"bn{k}"))
+        _import_infogen(params, stats, sd)
 
     last = srb_nums + 2
     _conv(params, sd, f"block{last}.0", (f"block{last}_conv",))
@@ -385,3 +383,177 @@ def import_opt_full(
         _set(params, ("Prediction", "kernel"), linear_w(sd["Prediction.weight"]))
         _set(params, ("Prediction", "bias"), sd["Prediction.bias"])
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# SR backbone zoo importers (reference model/{srcnn,srresnet,rdn,vdsr,edsr,
+# lapsrn,esrgan,rrdb}.py -> the same-named flax modules).  Shared by the
+# reference-parity suite and by anyone carrying torch-trained SR weights.
+# ---------------------------------------------------------------------------
+
+
+def _import_infogen(params: Dict, stats: Dict, sd: Dict, tp: str = "infoGen",
+                    fp: Tuple[str, ...] = ("infoGen",)):
+    """InfoGen deconv pyramid (model/srcnn.py:18-47 and its per-backbone
+    copies; same key names everywhere)."""
+    for k in (1, 2, 3, 4):
+        _convT(params, sd, f"{tp}.tconv{k}", fp + (f"tconv{k}",))
+        _bn(params, stats, sd, f"{tp}.bn{k}", fp + (f"bn{k}",))
+
+
+def import_srcnn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """SRCNN / SRCNN_TL (model/srcnn.py:50-146) -> models.srcnn."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in (1, 2, 3):
+        _conv(params, sd, f"conv{i}", (f"conv{i}",))
+    if "infoGen.tconv1.weight" in sd:
+        _import_infogen(params, stats, sd)
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def import_srresnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """SRResNet / SRResNet_TL (model/srresnet.py:13-235) -> models.srresnet."""
+    params: Dict = {}
+    stats: Dict = {}
+    _conv(params, sd, "block1.0", ("block1_conv",))
+    _set(params, ("block1_prelu", "alpha"), sd["block1.1.weight"])
+    for i in range(2, 7):
+        fp = (f"block{i}",)
+        _conv(params, sd, f"block{i}.conv1", fp + ("conv1",))
+        _bn(params, stats, sd, f"block{i}.bn1", fp + ("bn1",))
+        _set(params, fp + ("prelu", "alpha"), sd[f"block{i}.prelu.weight"])
+        _conv(params, sd, f"block{i}.conv2", fp + ("conv2",))
+        _bn(params, stats, sd, f"block{i}.bn2", fp + ("bn2",))
+    _conv(params, sd, "block7.0", ("block7_conv",))
+    _bn(params, stats, sd, "block7.1", ("block7_bn",))
+    j = 0
+    while f"block8.{j}.conv.weight" in sd:  # UpsampleBLock(s)
+        _conv(params, sd, f"block8.{j}.conv", (f"block8_up{j}", "conv"))
+        _set(params, (f"block8_up{j}", "prelu", "alpha"), sd[f"block8.{j}.prelu.weight"])
+        j += 1
+    _conv(params, sd, f"block8.{j}", ("block8_conv",))
+    if "infoGen.tconv1.weight" in sd:
+        _import_infogen(params, stats, sd)
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def import_rdn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """RDN / RDN_TL (model/rdn.py:54-214) -> models.rdn."""
+    params: Dict = {}
+    stats: Dict = {}
+    _conv(params, sd, "conv1", ("conv1",))
+    _conv(params, sd, "conv2", ("conv2",))
+    for k in (1, 2, 3):
+        i = 0
+        while f"RDB{k}.dense_layers.{i}.conv.weight" in sd:
+            _conv(params, sd, f"RDB{k}.dense_layers.{i}.conv",
+                  (f"RDB{k}", f"dense{i}", "conv"))
+            i += 1
+        _conv(params, sd, f"RDB{k}.conv_1x1", (f"RDB{k}", "conv_1x1"))
+    _conv(params, sd, "GFF_1x1", ("GFF_1x1",))
+    _conv(params, sd, "GFF_3x3", ("GFF_3x3",))
+    _conv(params, sd, "conv_up", ("conv_up",))
+    _conv(params, sd, "conv3", ("conv3",))
+    if "infoGen.tconv1.weight" in sd:
+        _import_infogen(params, stats, sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_vdsr(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """VDSR / VDSR_TL (model/vdsr.py:39-233) -> models.vdsr.  All convs are
+    bias-free; the plain variant keeps blocks in ``residual_layer.{i}``,
+    the TL variant in ``block{1..6}``."""
+    params: Dict = {}
+    stats: Dict = {}
+    _set(params, ("input", "kernel"), conv_w(sd["input.weight"]))
+    _set(params, ("output", "kernel"), conv_w(sd["output.weight"]))
+    i = 0
+    while f"residual_layer.{i}.conv.weight" in sd:
+        _set(params, (f"block{i + 1}", "kernel"),
+             conv_w(sd[f"residual_layer.{i}.conv.weight"]))
+        i += 1
+    k = 1
+    while f"block{k}.conv.weight" in sd:
+        _set(params, (f"block{k}", "kernel"), conv_w(sd[f"block{k}.conv.weight"]))
+        k += 1
+    if "infoGen.tconv1.weight" in sd:
+        _import_infogen(params, stats, sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_edsr(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """EDSR (model/edsr.py:35-90) -> models.edsr.EDSR.  The frozen MeanShift
+    convs (identity kernel, +/-rgb_mean bias) are plain arithmetic on our
+    side and are not imported."""
+    params: Dict = {}
+    _set(params, ("conv_input", "kernel"), conv_w(sd["conv_input.weight"]))
+    i = 0
+    while f"residual.{i}.conv1.weight" in sd:
+        for c in ("conv1", "conv2"):
+            _set(params, (f"res{i}", c, "kernel"), conv_w(sd[f"residual.{i}.{c}.weight"]))
+        i += 1
+    _set(params, ("conv_mid", "kernel"), conv_w(sd["conv_mid.weight"]))
+    j = 0
+    while f"upscale.{2 * j}.weight" in sd:  # conv at even indices, PixelShuffle between
+        _set(params, (f"up{j}", "kernel"), conv_w(sd[f"upscale.{2 * j}.weight"]))
+        j += 1
+    _set(params, ("conv_output", "kernel"), conv_w(sd["conv_output.weight"]))
+    return {"params": params, "batch_stats": {}}
+
+
+def import_lapsrn(sd: Dict[str, np.ndarray], scale_factor: int = 2) -> Dict[str, Any]:
+    """LapSRN (model/lapsrn.py:57-137) -> models.lapsrn.LapSRN.  The torch
+    module always allocates the x4 pyramid stage; only the stages our module
+    instantiates for ``scale_factor`` are imported."""
+    params: Dict = {}
+    stats: Dict = {}
+    _set(params, ("conv_input", "kernel"), conv_w(sd["conv_input.weight"]))
+    stages = 1 if scale_factor == 2 else 2
+    for s in range(1, stages + 1):
+        fb = f"convt_F{s}"
+        for i in range(10):
+            _set(params, (fb, f"conv{i}", "kernel"),
+                 conv_w(sd[f"{fb}.0.cov_block.{2 * i}.weight"]))
+        _set(params, (fb, "deconv", "kernel"), convT_w(sd[f"{fb}.0.cov_block.20.weight"]))
+        _set(params, (f"convt_I{s}", "kernel"), convT_w(sd[f"convt_I{s}.weight"]))
+        _set(params, (f"convt_R{s}", "kernel"), conv_w(sd[f"convt_R{s}.weight"]))
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def import_rrdbnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """RRDBNet (model/esrgan.py:55-90) / RRDBNet_TL blocks (model/rrdb.py)
+    -> models.rrdb."""
+    params: Dict = {}
+    _conv(params, sd, "conv_first", ("conv_first",))
+    i = 0
+    while f"RRDB_trunk.{i}.RDB1.conv1.weight" in sd:
+        for k in (1, 2, 3):
+            for c in range(1, 6):
+                _conv(params, sd, f"RRDB_trunk.{i}.RDB{k}.conv{c}",
+                      (f"RRDB{i}", f"RDB{k}", f"conv{c}"))
+        i += 1
+    _conv(params, sd, "trunk_conv", ("trunk_conv",))
+    j = 1
+    while f"upconv{j}.weight" in sd:
+        _conv(params, sd, f"upconv{j}", (f"upconv{j}",))
+        j += 1
+    _conv(params, sd, "HRconv", ("HRconv",))
+    _conv(params, sd, "conv_last", ("conv_last",))
+    return {"params": params, "batch_stats": {}}
+
+
+def import_rrdb_tl_block(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """A single RRDB_TL residual-in-residual block (model/rrdb.py:96-127)
+    -> models.rrdb.RRDB_TL (keys RDB{1..3}.conv{1..5})."""
+    params: Dict = {}
+    for k in (1, 2, 3):
+        for c in range(1, 6):
+            _conv(params, sd, f"RDB{k}.conv{c}", (f"RDB{k}", f"conv{c}"))
+    return {"params": params, "batch_stats": {}}
