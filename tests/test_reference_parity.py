@@ -519,3 +519,66 @@ def test_reference_opt_full_pipeline(rng, monkeypatch, cfg):
     got = np.asarray(ours_model.apply(variables, x, train=False))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# plain TSRN / TSRN_C2F / Charbonnier vs the reference's own modules
+# ---------------------------------------------------------------------------
+
+
+def test_reference_tsrn_plain(rng):
+    """Non-TL TSRN (model/tsrn.py:18-78) weight-for-weight eval forward."""
+    from tpgsr_tpu.models.tsrn import TSRN
+
+    tsrn = load_reference_module("model.tsrn")
+    torch.manual_seed(2)
+    tm = tsrn.TSRN(scale_factor=2, width=64, height=16, STN=False,
+                   srb_nums=2, mask=True, hidden_units=8).eval()
+    _randomize_bn_stats(tm, 2)
+    variables = ti.import_tsrn(_sd(tm), srb_nums=2, tl=False)
+    x = rng.random((2, 8, 32, 4), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous()).numpy()
+    ours = TSRN(scale_factor=2, width=64, height=16, stn=False, srb_nums=2,
+                mask=True, hidden_units=8).apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.transpose(ref, (0, 2, 3, 1)), np.asarray(ours), atol=2e-5
+    )
+
+
+def test_reference_tsrn_c2f(rng):
+    """TSRN_C2F (model/tsrn.py:218-283): tuple output (SR, coarse_proj)."""
+    from tpgsr_tpu.models.tsrn import TSRN_C2F
+
+    tsrn = load_reference_module("model.tsrn")
+    torch.manual_seed(3)
+    tm = tsrn.TSRN_C2F(scale_factor=2, width=64, height=16, STN=False,
+                       srb_nums=2, mask=True, hidden_units=8).eval()
+    _randomize_bn_stats(tm, 3)
+    variables = ti.import_tsrn(_sd(tm), srb_nums=2, tl=False)
+    x = rng.random((2, 8, 32, 4), dtype=np.float32)
+    with torch.no_grad():
+        ref_sr, ref_coarse = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous())
+    ours_sr, ours_coarse = TSRN_C2F(
+        scale_factor=2, width=64, height=16, stn=False, srb_nums=2,
+        mask=True, hidden_units=8,
+    ).apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.transpose(ref_coarse.numpy(), (0, 2, 3, 1)), np.asarray(ours_coarse), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.transpose(ref_sr.numpy(), (0, 2, 3, 1)), np.asarray(ours_sr), atol=2e-5
+    )
+
+
+def test_reference_charbonnier_loss(rng):
+    """L1_Charbonnier_loss (model/lapsrn.py:126-137) — an un-normalized SUM."""
+    from tpgsr_tpu.losses import charbonnier_loss
+
+    lapsrn = load_reference_module("model.lapsrn")
+    crit = lapsrn.L1_Charbonnier_loss()
+    a = rng.random((2, 3, 16, 32), dtype=np.float32)
+    b = rng.random((2, 3, 16, 32), dtype=np.float32)
+    ref = float(crit(torch.from_numpy(a), torch.from_numpy(b)))
+    got = float(charbonnier_loss(a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)

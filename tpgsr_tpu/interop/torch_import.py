@@ -144,6 +144,9 @@ def import_tsrn(sd: Dict[str, np.ndarray], srb_nums: int = 5, tl: bool = True) -
     _conv(params, sd, f"block{last}.0", (f"block{last}_conv",))
     _bn(params, stats, sd, f"block{last}.1", (f"block{last}_bn",))
 
+    if "coarse_proj.weight" in sd:  # TSRN_C2F (model/tsrn.py:241)
+        _conv(params, sd, "coarse_proj", ("coarse_proj",))
+
     out_block = srb_nums + 3
     # UpsampleBLock(s) then final conv inside nn.Sequential
     j = 0
