@@ -582,3 +582,34 @@ def test_reference_charbonnier_loss(rng):
     ref = float(crit(torch.from_numpy(a), torch.from_numpy(b)))
     got = float(charbonnier_loss(a, b))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_reference_sem_tsrn(rng):
+    """SEM_TSRN (model/tsrn.py:286-370) eval forward: per-block
+    FeatureEnhancerW2V self-attention (the passed-in enhancer and word2vec
+    are ignored/bypassed by the reference in eval) + ImFeat2WordVec
+    predictions.  Also locks our LayerNorm to torch's Bessel-corrected
+    std (model_transformer.py:174-186)."""
+    from tpgsr_tpu.models.tsrn import SEM_TSRN
+
+    tsrn = load_reference_module("model.tsrn")
+    torch.manual_seed(4)
+    # the reference's reasoning-block list is hardcoded to [2..6]
+    # (tsrn.py:359) so, as with TSRN_TL, only srb_nums=5 runs
+    tm = tsrn.SEM_TSRN(scale_factor=2, width=64, height=16, STN=False,
+                       srb_nums=5, mask=True, hidden_units=8).eval()
+    _randomize_bn_stats(tm, 4)
+    variables = ti.import_sem_tsrn(_sd(tm), srb_nums=5)
+    x = rng.random((2, 8, 32, 4), dtype=np.float32)
+    with torch.no_grad():
+        ref_sr, ref_vecs = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).contiguous())
+    ours_sr, ours_vecs = SEM_TSRN(
+        scale_factor=2, width=64, height=16, stn=False, srb_nums=5,
+        mask=True, hidden_units=8,
+    ).apply(variables, x, train=False)
+    assert len(ours_vecs) == len(ref_vecs)
+    for rv, ov in zip(ref_vecs, ours_vecs):
+        np.testing.assert_allclose(rv.numpy(), np.asarray(ov), atol=2e-5)
+    np.testing.assert_allclose(
+        np.transpose(ref_sr.numpy(), (0, 2, 3, 1)), np.asarray(ours_sr), atol=2e-5
+    )

@@ -560,3 +560,48 @@ def import_rrdb_tl_block(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         for c in range(1, 6):
             _conv(params, sd, f"RDB{k}.conv{c}", (f"RDB{k}", f"conv{c}"))
     return {"params": params, "batch_stats": {}}
+
+
+def _import_feature_enhancer(params: Dict, sd: Dict, tp: str, fp: Tuple[str, ...]):
+    """FeatureEnhancerW2V (model/model_transformer.py:407-446): 4-linear
+    multihead attention (annotated-transformer ``linears.{0..3}`` ->
+    linear_q/k/v/out), two LayerNorms, PFF.  The reference declares a
+    ``w2v_proj`` linear but bypasses it in forward; it is not imported."""
+    mh = fp + ("mask_multihead",)
+    for i, ours in enumerate(("linear_q", "linear_k", "linear_v", "linear_out")):
+        _linear(params, sd, f"{tp}.mask_multihead.linears.{i}", mh + (ours,))
+    for ln in ("mul_layernorm1", "mul_layernorm3"):
+        _set(params, fp + (ln, "a_2"), sd[f"{tp}.{ln}.a_2"])
+        _set(params, fp + (ln, "b_2"), sd[f"{tp}.{ln}.b_2"])
+    _linear(params, sd, f"{tp}.pff.w_1", fp + ("pff", "w_1"))
+    _linear(params, sd, f"{tp}.pff.w_2", fp + ("pff", "w_2"))
+
+
+def import_sem_tsrn(sd: Dict[str, np.ndarray], srb_nums: int = 5) -> Dict[str, Any]:
+    """SEM_TSRN (model/tsrn.py:286-370) -> models.tsrn.SEM_TSRN."""
+    params: Dict = {}
+    stats: Dict = {}
+    _conv(params, sd, "block1.0", ("block1_conv",))
+    _set(params, ("block1_prelu", "alpha"), sd["block1.1.weight"])
+    for i in range(srb_nums):
+        tp = f"block{i + 2}"
+        fp = (f"block{i + 2}",)
+        _conv(params, sd, f"{tp}.conv1", fp + ("conv1",))
+        _bn(params, stats, sd, f"{tp}.bn1", fp + ("bn1",))
+        _conv(params, sd, f"{tp}.conv2", fp + ("conv2",))
+        _bn(params, stats, sd, f"{tp}.bn2", fp + ("bn2",))
+        _import_feature_enhancer(params, sd, f"{tp}.feature_enhancer",
+                                 fp + ("feature_enhancer",))
+    _linear(params, sd, "w2v_proj.vec_proj", ("w2v_proj", "vec_proj"))
+    last = srb_nums + 2
+    _conv(params, sd, f"block{last}.0", (f"block{last}_conv",))
+    _bn(params, stats, sd, f"block{last}.1", (f"block{last}_bn",))
+    out_block = srb_nums + 3
+    j = 0
+    while f"block{out_block}.{j}.conv.weight" in sd:
+        _conv(params, sd, f"block{out_block}.{j}.conv", (f"block{out_block}_up{j}", "conv"))
+        j += 1
+    _conv(params, sd, f"block{out_block}.{j}", (f"block{out_block}_conv",))
+    if "stn_head.stn_fc2.weight" in sd:
+        _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
+    return {"params": params, "batch_stats": stats}

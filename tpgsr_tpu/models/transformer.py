@@ -33,7 +33,8 @@ class LayerNorm(nn.Module):
         a2 = self.param("a_2", nn.initializers.ones, (features,))
         b2 = self.param("b_2", nn.initializers.zeros, (features,))
         mean = jnp.mean(x, axis=-1, keepdims=True)
-        std = jnp.std(x, axis=-1, keepdims=True)
+        # torch Tensor.std defaults to the Bessel-corrected estimator
+        std = jnp.std(x, axis=-1, keepdims=True, ddof=1)
         return a2 * (x - mean) / (std + self.eps) + b2
 
 
