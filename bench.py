@@ -162,6 +162,27 @@ def _train_dtype() -> str:
 
 def main() -> None:
     import os
+    import sys
+    import threading
+
+    # Watchdog: a wedged TPU tunnel hangs inside backend init / the first
+    # device op with no exception to catch (observed 2026-08-17: even
+    # jax.devices() blocks forever).  Force a clean failure instead so the
+    # caller records an error rather than hanging.
+    deadline = float(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+
+    def _abort():
+        print(
+            f"bench.py: no result within {deadline:.0f}s — TPU backend "
+            "likely unreachable (wedged tunnel); aborting",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    watchdog = threading.Timer(deadline, _abort)
+    watchdog.daemon = True
+    watchdog.start()
 
     infer_ips = _bench_inference()
     # batch 512 (the YAML default TRAIN.batch_size) as a secondary datapoint.
@@ -193,6 +214,7 @@ def main() -> None:
             }
         )
     )
+    watchdog.cancel()
 
 
 if __name__ == "__main__":
