@@ -613,3 +613,59 @@ def test_reference_sem_tsrn(rng):
     np.testing.assert_allclose(
         np.transpose(ref_sr.numpy(), (0, 2, 3, 1)), np.asarray(ours_sr), atol=2e-5
     )
+
+
+@pytest.mark.parametrize("arch", ["srcnn", "lapsrn"])
+def test_reference_train_step_loss_simple_branch(rng, arch):
+    """The non-TL train branch (super_resolution.py:411-419): loss =
+    image_crit(model(lr[:, :ch]), hr[:, :ch]).mean() * 100 with ch=3 for
+    srcnn/rdn/vdsr and 4 otherwise, MSE for srcnn, the un-normalized
+    Charbonnier SUM for lapsrn (base.py:331-353)."""
+    import jax
+
+    from tpgsr_tpu.config import default_args, load_config
+    from tpgsr_tpu.models.registry import ARCHS
+    from tpgsr_tpu.train.state import create_train_state
+    from tpgsr_tpu.train.step import make_train_step
+
+    if arch == "srcnn":
+        ref_mod = load_reference_module("model.srcnn")
+        torch.manual_seed(10)
+        tm = ref_mod.SRCNN(scale_factor=2, in_planes=3, STN=False)
+        crit = torch.nn.MSELoss()
+        variables = ti.import_srcnn(_sd(tm))
+        ch = 3
+    else:
+        ref_mod = load_reference_module("model.lapsrn")
+        torch.manual_seed(11)
+        # the reference's channel_num=4 slice (super_resolution.py:412-415)
+        # only runs for lapsrn because the model is built 3-channel and used
+        # unmasked (base.py:352), making the slice a no-op; ch=3 is the
+        # functional behavior our registry encodes
+        tm = ref_mod.LapSRN(scale_factor=2, in_planes=3, STN=False)
+        crit = ref_mod.L1_Charbonnier_loss()
+        variables = ti.import_lapsrn(_sd(tm), scale_factor=2)
+        ch = 3
+
+    batch = _make_batch(rng)
+    hr_t = torch.from_numpy(np.transpose(batch["hr"], (0, 3, 1, 2)))[:, :ch]
+    lr_t = torch.from_numpy(np.transpose(batch["lr"], (0, 3, 1, 2)))[:, :ch]
+    tm.train()
+    ref = float(crit(tm(lr_t), hr_t).mean() * 100.0)
+
+    args = default_args(arch=arch, STN=False, mask=True)
+    config = load_config()
+    config.TRAIN.compute_dtype = "fp32"
+    spec = ARCHS[arch]
+    model = spec.build(args, {"scale_factor": 2, "width": 128, "height": 32})
+    assert spec.in_channels == ch
+    lr_img = np.zeros((4, 16, 64, ch), np.float32)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, (lr_img,), n_sr=1,
+        sr_init_variables=variables,
+    )
+    step = make_train_step(arch, spec, model, None, args, config, donate=False)
+    _, metrics = step(state, batch)
+    np.testing.assert_allclose(
+        float(np.asarray(metrics["loss_total"])), ref, rtol=2e-4
+    )
