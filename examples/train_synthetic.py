@@ -310,6 +310,10 @@ def main():
     # --- final eval: the learning-validation artifact -----------------------
     from tpgsr_tpu.train.evaluate import evaluate
 
+    # a rerun that restored at (or past) target_step never enters the train
+    # loop, so the jitted eval step hasn't been built yet
+    if getattr(mission, "_eval_step", None) is None:
+        mission._build_steps(with_train=False)
     md = evaluate(mission._eval_step, state, mission.get_val_data()[0],
                   mesh=mission.mesh,
                   **({"decoder": mission._decoder} if mission._decoder else {}))

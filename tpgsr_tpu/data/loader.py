@@ -10,9 +10,7 @@ axis via ``jax.device_put`` with a NamedSharding.
 from __future__ import annotations
 
 import multiprocessing as mp
-import os
 import queue
-import sys
 import threading
 from typing import Callable, Dict, Iterator, Optional
 
@@ -176,23 +174,46 @@ class DataLoader:
         self._ensure_pool()
         # discard results of an abandoned previous epoch (early consumer
         # exit leaves tasks in flight; they must be drained, not leaked,
-        # or they would interleave with this epoch's results)
+        # or they would interleave with this epoch's results).  _get_result
+        # (not a bare out_q.get) so a worker that died mid-abandoned-epoch
+        # raises instead of hanging this loop forever; the bounded send
+        # window below caps the drain at ~window batches of wasted decode.
         while self._outstanding > 0:
-            self._out_q.get()
+            self._get_result()
             self._outstanding -= 1
         # epoch base seed: workers reseed their dataset copy's RNGs with
         # base+worker_id, torch-DataLoader style (fresh augmentation streams
-        # per worker per epoch instead of N identical forked copies)
-        base_seed = self.seed + self._epoch
-        for i, b in enumerate(batches):
+        # per worker per epoch instead of N identical forked copies).  The
+        # epoch stride must exceed any worker count or (epoch E, worker w+1)
+        # would replay (epoch E+1, worker w)'s stream.
+        base_seed = self.seed + self._epoch * 100003
+        it = enumerate(batches)
+        # bounded in-flight window: enough to keep every worker busy and the
+        # prefetch satisfied, small enough that an abandoned epoch wastes at
+        # most ~window decodes (not the whole epoch)
+        window = max(2 * self.num_workers, self.prefetch + 1)
+
+        def send_next() -> bool:
+            try:
+                i, b = next(it)
+            except StopIteration:
+                return False
+            # round-robin by batch index: batch->worker assignment stays
+            # deterministic, so per-worker RNG streams are reproducible
             self._task_qs[i % self.num_workers].put((i, np.asarray(b), base_seed))
-        self._outstanding += len(batches)
+            self._outstanding += 1
+            return True
+
+        for _ in range(window):
+            if not send_next():
+                break
         results: Dict[int, Dict] = {}
         next_emit = 0
         while next_emit < len(batches):
             while next_emit not in results:
                 i, batch = self._get_result()
                 self._outstanding -= 1
+                send_next()
                 if isinstance(batch, Exception):
                     raise batch
                 results[i] = batch
@@ -216,16 +237,13 @@ class DataLoader:
 
 
 def _worker_context():
-    """Pick the multiprocessing start method.
-
-    forkserver (fallback spawn) by default: the loader is iterated from
-    prefetch threads while JAX/XLA threads are live, and fork() there can
-    deadlock the child on an inherited lock.  Spawn-family children must
-    re-import __main__, which is impossible for interactive/stdin programs —
-    those fall back to fork (the classic torch-DataLoader behavior)."""
-    main_file = getattr(sys.modules.get("__main__"), "__file__", None)
-    if main_file is None or not os.path.exists(main_file):
-        return mp.get_context("fork")
+    """Pick the multiprocessing start method: forkserver, else spawn — never
+    fork.  The loader is iterated from prefetch threads while JAX/XLA
+    threads are live, and fork() there can deadlock the child on an
+    inherited lock.  Spawn-family children handle a file-less __main__
+    (REPL / ``python -c``) by giving the child an empty __main__, which is
+    fine here: the worker target and the pickled dataset/collate all live
+    in importable modules."""
     try:
         return mp.get_context("forkserver")
     except ValueError:

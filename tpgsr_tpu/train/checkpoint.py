@@ -94,27 +94,47 @@ def restore_checkpoint(
     state: TrainState,
     prefix: str = "checkpoint",
     restore_opt: bool = True,
+    prefer_best: bool = False,
 ) -> TrainState:
     """Restore SR/student params into an existing state (shapes must match).
 
-    Accepts a directory (preferring model_best_* like base.py:405-412) or a
-    single stage-0 file.
+    Accepts a directory or a single stage-0 file.  Two directory modes:
+
+    * ``prefer_best=False`` (training continuation, the default): load the
+      ``checkpoint_<i>`` / ``recognizer_<i>`` files — written on EVERY save,
+      so they are always the newest and always mutually consistent with
+      ``opt_state.msgpack`` and info.json's ``step``.  (Loading
+      ``model_best_*`` here would silently rewind the params to an older
+      val-best save while keeping the newest Adam moments/step counter.)
+    * ``prefer_best=True`` (eval-only --go_test/--test/--demo; the
+      reference's resume semantics, base.py:405-412): prefer
+      ``model_best_<i>``, and skip the opt/step restore — those belong to
+      the latest save, not necessarily the best one.
     """
     if os.path.isdir(ckpt_dir_or_file):
         d = ckpt_dir_or_file
+
+        def pick(primary, fallback):
+            p = os.path.join(d, primary)
+            return p if os.path.exists(p) else os.path.join(d, fallback)
+
         def stage_file(i):
-            best = os.path.join(d, f"model_best_{i}.msgpack")
-            return best if os.path.exists(best) else os.path.join(d, f"{prefix}_{i}.msgpack")
+            best, periodic = f"model_best_{i}.msgpack", f"{prefix}_{i}.msgpack"
+            return pick(best, periodic) if prefer_best else pick(periodic, best)
+
+        def stu_file(i):
+            best, periodic = f"recognizer_best_{i}.msgpack", f"recognizer_{i}.msgpack"
+            return pick(best, periodic) if prefer_best else pick(periodic, best)
+
         sr = []
         for i in range(len(state.sr_params)):
             f = stage_file(i)
             sr.append(_load(f) if os.path.exists(f) else None)
         stu = []
         for i in range(len(state.stu_params)):
-            best = os.path.join(d, f"recognizer_best_{i}.msgpack")
-            f = best if os.path.exists(best) else os.path.join(d, f"recognizer_{i}.msgpack")
+            f = stu_file(i)
             stu.append(_load(f) if os.path.exists(f) else None)
-        opt_path = os.path.join(d, "opt_state.msgpack")
+        opt_path = "" if prefer_best else os.path.join(d, "opt_state.msgpack")
     else:
         sr = [_load(ckpt_dir_or_file)] + [None] * (len(state.sr_params) - 1)
         stu = [None] * len(state.stu_params)
@@ -141,7 +161,7 @@ def restore_checkpoint(
         raw = _load(opt_path)
         opt_state = serialization.from_state_dict(state.opt_state, raw)
         state = state.replace(opt_state=opt_state)
-    if os.path.isdir(ckpt_dir_or_file):
+    if os.path.isdir(ckpt_dir_or_file) and not prefer_best:
         # continue the iteration counter (info.json 'step'); like the Adam
         # state this goes beyond the reference, which restarts counters
         info_path = os.path.join(ckpt_dir_or_file, "info.json")

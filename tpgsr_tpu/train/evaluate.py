@@ -89,10 +89,10 @@ def evaluate(
                 full_batch = target
                 if b < target:
                     # padded rows are masked out below (labels has b entries)
-                    arrays = {
-                        k: np.concatenate([v, np.repeat(v[-1:], target - b, axis=0)])
-                        for k, v in arrays.items()
-                    }
+                    from tpgsr_tpu.data.loader import pad_batch
+
+                    arrays = pad_batch(arrays, target)
+                    arrays.pop("_valid")
                 if mesh is not None:
                     from tpgsr_tpu.parallel import shard_batch
 

@@ -50,25 +50,48 @@ def _device_prefetch(loader, mesh, depth: int = 2):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
     _END = object()
+    stop = _threading.Event()
+
+    def put(item) -> bool:
+        """q.put that gives up when the consumer has stopped, so an abandoned
+        epoch (early break / exception in the train loop) can't leave the
+        producer blocked forever holding a loader iteration."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    loader_iter = iter(loader)
 
     def producer():
         try:
-            for batch in loader:
+            for batch in loader_iter:
                 arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-                q.put((shard_batch(mesh, arrays), batch))
-            q.put(_END)
+                if not put((shard_batch(mesh, arrays), batch)):
+                    return
+            put(_END)
         except BaseException as e:  # surface loader errors in the main thread
-            q.put(e)
+            put(e)
+        finally:
+            close = getattr(loader_iter, "close", None)
+            if close is not None:
+                close()  # release loader worker pools promptly
 
     t = _threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()  # unblock the producer if we exit early
 
 
 def _collate_kind(arch: str, train: bool) -> str:
@@ -225,7 +248,10 @@ class TextSR:
         )
         resume = self.args.get("resume") or t.get("resume")
         if resume:
-            state = ckpt.restore_checkpoint(resume, state)
+            eval_only = bool(
+                self.args.get("go_test") or self.args.get("test") or self.args.get("demo")
+            )
+            state = ckpt.restore_checkpoint(resume, state, prefer_best=eval_only)
         if os.environ.get("TPGSR_COST_REPORT"):
             # ptflops-style MAC/param print at init (base.py:372-381,638-643);
             # gated because the extra compile is slow on a tunneled TPU
