@@ -244,3 +244,33 @@ def test_tuple_output_archs_train_and_eval():
         sr, outs = estep(state2, batch)
         assert sr.shape == (b, 32, 64, 4)
         assert np.isfinite(float(np.asarray(outs["mse"]).mean()))
+
+
+def test_device_prefetch_early_exit_unblocks_producer():
+    """Abandoning the prefetch generator mid-epoch (early break / exception in
+    the train loop) must stop the producer thread and close the underlying
+    loader iterator — a blocked q.put would otherwise pin a loader iteration
+    (and its worker pool) forever (ADVICE r1)."""
+    import threading
+    import time
+
+    from tpgsr_tpu.train.trainer import _device_prefetch
+
+    mesh = data_mesh(1)
+    closed = threading.Event()
+    n_pulled = [0]
+
+    def loader():
+        try:
+            for _ in range(100):
+                n_pulled[0] += 1
+                yield {"lr": np.zeros((4, 8, 8, 1), np.float32), "label": ["x"] * 4}
+        finally:
+            closed.set()
+
+    gen = _device_prefetch(loader(), mesh, depth=2)
+    next(gen)
+    gen.close()  # abandon after one batch
+    assert closed.wait(timeout=10), "producer never released the loader"
+    # producer stopped early: it never drained anywhere near the full epoch
+    assert n_pulled[0] < 100
