@@ -274,3 +274,37 @@ def test_device_prefetch_early_exit_unblocks_producer():
     assert closed.wait(timeout=10), "producer never released the loader"
     # producer stopped early: it never drained anywhere near the full epoch
     assert n_pulled[0] < 100
+
+
+def test_checkpoint_restore_modes(tmp_path):
+    """Training continuation loads the periodic files + opt/step; eval-only
+    (prefer_best) loads model_best_* and leaves opt/step untouched.  Guards
+    against silently rewinding params to an older val-best save while
+    keeping the newest Adam moments."""
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config,
+                           donate=False)
+    d = str(tmp_path / "ckpt")
+
+    best, _ = step(state, _batch())          # step 1: the "val-best" save
+    ckpt.save_checkpoint(d, jax.device_get(best), {"arch": "x"}, is_best=True)
+    latest, _ = step(best, _batch())         # step 2: a later, non-best save
+    ckpt.save_checkpoint(d, jax.device_get(latest), {"arch": "x"}, is_best=False)
+
+    def p0(s):
+        return np.asarray(jax.tree_util.tree_leaves(s.sr_params)[0])
+
+    _, _, _, _, fresh = _tiny_setup()
+    cont = ckpt.restore_checkpoint(d, fresh)
+    np.testing.assert_allclose(p0(cont), p0(latest))
+    assert int(np.asarray(cont.step)) == int(np.asarray(latest.step))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(cont.opt_state)[0]),
+        np.asarray(jax.tree_util.tree_leaves(latest.opt_state)[0]),
+    )
+
+    _, _, _, _, fresh2 = _tiny_setup()
+    ev = ckpt.restore_checkpoint(d, fresh2, prefer_best=True)
+    np.testing.assert_allclose(p0(ev), p0(best))
+    assert int(np.asarray(ev.step)) == int(np.asarray(fresh2.step))  # untouched
