@@ -232,7 +232,13 @@ class DataLoader:
                     codes = [p.exitcode for p in self._procs]
                     self.shutdown()
                     raise RuntimeError(
-                        f"DataLoader worker process died (exitcodes {codes})"
+                        f"DataLoader worker process died (exitcodes {codes}). "
+                        "If this happened as soon as iteration started, the "
+                        "usual cause is an entry script without an "
+                        "`if __name__ == '__main__':` guard — forkserver/"
+                        "spawn workers re-import __main__, re-running any "
+                        "module-level training code (same requirement as "
+                        "torch's DataLoader with spawn)."
                     )
 
 
