@@ -183,17 +183,38 @@ class TestRandomizedModel:
         write_lmdb(str(tmp_path), list(first.items()), psize=512)
 
         prev_model = None
-        for _commit in range(rnd.randint(2, 4)):
+        # enough commits for wrong freelist accounting to cascade into
+        # visible corruption: a page listed free while live in commit N's
+        # freelist tree gets reused by commit N+1 and double-freed, and the
+        # damage surfaces in the MAIN tree only several commits later
+        # (observed at ~10 before the append_lmdb pool fix)
+        for _commit in range(rnd.randint(10, 16)):
             batch = {}
             # mix of updates to existing keys and fresh inserts
             for k in rnd.sample(sorted(model), k=min(len(model), rnd.randint(5, 40))):
                 batch[k] = rand_kv()[1]
+            # shrink some big values to tiny ones: freed overflow pages must
+            # outnumber the new main tree's needs for the freelist tree to
+            # reach the pool at all — the exact precondition of the
+            # append_lmdb accounting bug (triggered by commit 2 pre-fix)
+            for k in rnd.sample(sorted(model), k=min(len(model), 30)):
+                batch[k] = b"s" * rnd.randint(1, 20)
             for _ in range(rnd.randint(5, 120)):
                 k, v = rand_kv()
                 batch[k] = v
             prev_model = dict(model)
             model.update(batch)
             append_lmdb(str(tmp_path), list(batch.items()))
+            with LMDBReader(str(tmp_path)) as env:
+                # per-commit invariant: no page is both free and live in
+                # EITHER tree (the freelist tree included — its own pages
+                # are the ones the pre-fix accounting leaked)
+                live = set(env.tree_pages()) | set(env.tree_pages(env.free_root))
+                free = {p for pgs in env.freelist().values() for p in pgs}
+                assert not (free & live), f"live pages listed free: {free & live}"
+                scanned = list(env.items())
+                assert [k for k, _ in scanned] == sorted(model)
+                assert all(model[k] == v for k, v in scanned)
 
         with LMDBReader(str(tmp_path)) as env:
             assert len(env) == len(model)

@@ -619,6 +619,15 @@ def append_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]]) -> str:
     # frees (the whole previous main tree + previous freelist tree, since
     # both were rewritten copy-on-write)
     consumed = set(builder.used_from_pool)
+    # The freelist TREE below must not allocate from the pool: `consumed`
+    # is already baked into its contents, so any pool page it took would be
+    # live in the committed freelist tree yet still listed as free — a later
+    # commit would then reuse a live page (observed as main-tree/stale-
+    # snapshot corruption after ~10 randomized commits).  Allocating the
+    # freelist tree by file extension side-steps the fixed-point problem
+    # liblmdb solves with me_pghead accounting; its pages are freed into the
+    # NEXT commit's freelist like any other old-tree page, so nothing leaks.
+    builder.free_pool = []
     new_freelist: Dict[int, List[int]] = {
         t: kept
         for t, pgs in old_freelist.items()
