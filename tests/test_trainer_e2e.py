@@ -238,3 +238,34 @@ def test_textsr_multidevice_convergence_resume(lmdb_dir, tmp_path, monkeypatch):
     mission2.config.TRAIN.epochs = 1
     state2 = mission2.train()
     assert int(np.asarray(state2.step)) == 42
+
+
+def test_eval_step_rebuilt_when_recognizer_changes(lmdb_dir, tmp_path, monkeypatch):
+    """test() switches the eval recognizer via --rec (--test_model); the
+    cached eval step must be rebuilt for the new recognizer, not silently
+    reused — otherwise mission.train(); mission.test(--rec moran) reports
+    accuracy from the wrong recognizer."""
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8, vis_dir="rk")
+    mission = TextSR(config, args)
+
+    mission._build_steps(with_train=False)       # default: CRNN teacher
+    step_crnn = mission._eval_step
+    assert mission._decoder is None              # CRNN decodes in evaluate()
+
+    mission.args["test_model"] = "MORAN"
+    mission._build_steps(with_train=False)
+    assert mission._eval_step is not step_crnn
+    from tpgsr_tpu.models.moran import decode_moran_ids
+    assert mission._decoder is decode_moran_ids
+
+    # unchanged key -> cache hit
+    step_moran = mission._eval_step
+    mission._build_steps(with_train=False)
+    assert mission._eval_step is step_moran

@@ -329,13 +329,18 @@ class TextSR:
             self._train_step = make_train_step(
                 self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config
             )
-        if getattr(self, "_eval_step", None) is None:
+        # the eval step bakes in the eval recognizer, so the cache is keyed
+        # on --test_model: test() switches it via --rec (trainer.test:447)
+        # and must get a step with the requested recognizer, not a stale one
+        eval_key = str(self.args.get("test_model") or "CRNN")
+        if getattr(self, "_eval_step", None) is None or getattr(self, "_eval_step_key", None) != eval_key:
             eval_rec, decoder = self._eval_recognizer()
             self._decoder = decoder
             self._eval_step = make_eval_step(
                 self.arch, self.spec, self.sr_model, self.stu_model, self.args, self.config,
                 eval_rec=eval_rec,
             )
+            self._eval_step_key = eval_key
 
     # ----------------------------------------------------------------- train
     def train(self):
