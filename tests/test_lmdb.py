@@ -304,3 +304,43 @@ class TestNativeReader:
         # liblmdb-style native walk should win clearly; generous margin to
         # stay robust under CI load
         assert t_native < t_py / 2, (t_native, t_py)
+
+
+def test_native_bounds_corrupt_overflow_dsize(tmp_path):
+    """A corrupt/truncated file whose leaf node advertises a multi-page
+    overflow dsize extending past EOF must raise cleanly (rc=-2) from the
+    native engine — not SIGSEGV the process when the caller copies the
+    value (which, in a DataLoader worker, would surface only as the
+    generic 'worker process died')."""
+    from tpgsr_tpu.native import NativeLMDB, load_native_lmdb
+
+    if load_native_lmdb() is None:
+        pytest.skip("no C++ toolchain available")
+
+    psize = 512
+    big = b"B" * 4000  # spans multiple overflow pages
+    write_lmdb(str(tmp_path), [(b"big", big), (b"k", b"v")], psize=psize)
+    path = str(tmp_path / "data.mdb")
+    buf = bytearray(open(path, "rb").read())
+    # locate the F_BIGDATA leaf node for key b'big' and blow up its dsize
+    patched = False
+    for off in range(2 * psize, len(buf), psize):
+        flags = int.from_bytes(buf[off + 10:off + 12], "little")
+        if not flags & 0x02:  # P_LEAF
+            continue
+        lower = int.from_bytes(buf[off + 12:off + 14], "little")
+        for i in range((lower - 16) // 2):
+            noff = off + int.from_bytes(buf[off + 16 + 2 * i:off + 18 + 2 * i], "little")
+            nfl = int.from_bytes(buf[noff + 4:noff + 6], "little")
+            ks = int.from_bytes(buf[noff + 6:noff + 8], "little")
+            if nfl & 0x01 and buf[noff + 8:noff + 8 + ks] == b"big":
+                buf[noff:noff + 4] = b"\xff\xff\xff\xff"  # dsize = 0xffffffff
+                patched = True
+    assert patched
+    open(path, "wb").write(bytes(buf))
+
+    eng = NativeLMDB(path)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        eng.get(b"big")
+    assert eng.get(b"k") == b"v"  # intact records still readable
+    eng.close()

@@ -161,8 +161,14 @@ long long lmdb_native_get(void* h, const uint8_t* key, size_t klen,
             if ((ov + 1) * env->psize > env->size) return -2;
             const uint8_t* opage = env->map + ov * env->psize;
             if (!(ld<uint16_t>(opage + 10) & kPOverflow)) return -2;
+            // dsize may span MULTIPLE overflow pages: bound the whole value
+            // (not just the first page) or a truncated/corrupt file makes
+            // the caller's copy read past the mmap and SIGSEGV the worker
+            if (ov * env->psize + kPageHdr + dsize > env->size) return -2;
             *val_out = opage + kPageHdr;
           } else {
+            // inline values must stay within their leaf page
+            if (node + 8 + ksize + dsize > page + env->psize) return -2;
             *val_out = node + 8 + ksize;
           }
           return (long long)dsize;
