@@ -269,3 +269,35 @@ def test_eval_step_rebuilt_when_recognizer_changes(lmdb_dir, tmp_path, monkeypat
     step_moran = mission._eval_step
     mission._build_steps(with_train=False)
     assert mission._eval_step is step_moran
+
+
+def test_chunked_train_calls_continue_globally(lmdb_dir, tmp_path, monkeypatch):
+    """Repeated train() calls (epochs=1 per call, the resumable-chunk
+    pattern of examples/train_synthetic.py) must continue GLOBAL epoch and
+    iteration numbering: each slice gets a fresh shuffle/augmentation
+    stream and val/save intervals fire on global iters — not restart at
+    iteration 1 every call (where intervals larger than one epoch would
+    never fire and every slice would replay epoch 1's batch order)."""
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.batch_size = 8
+    t.epochs = 1
+    t.displayInterval = 1000
+    t.VAL.valInterval = 4   # > one 2-iter epoch: fires only with global iters
+    t.saveInterval = 1000
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8, vis_dir="chunk")
+    mission = TextSR(config, args)
+    state = None
+    for _ in range(3):  # 3 calls x 2 iters/epoch = global iters 1..6
+        state = mission.train()
+    assert int(np.asarray(state.step)) == 6
+    log = os.path.join("tensorboard", "chunk", "scalars.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    # loss logged at global iters%5==0 -> iteration 5 exists
+    assert any(r["tag"] == "loss/total" and r["step"] == 5 for r in recs)
+    # the valInterval=4 eval fired (impossible with per-call iters 1..2)
+    assert any(r["tag"].startswith("eval/") and r["step"] == 4 for r in recs)

@@ -12,40 +12,30 @@ Usage: python tools/bench_grid_sample.py
 
 from __future__ import annotations
 
-import time
+import os
+import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _median_diff  # the repo-root benchmark's timing core
+
 
 def _chained(fn, n):
+    # like bench._chained but for (x, grid)-signature ops
     import jax
     import jax.numpy as jnp
 
     def f(x, grid):
         def body(c, _):
-            out = fn(x + c * 1e-12, grid)
+            out = fn(x + c * 1e-12, grid)  # dependency defeats CSE
             return jnp.mean(out), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
 
     return jax.jit(f)
-
-
-def _time_call(fn, args, reps=4) -> float:
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(np.asarray(fn(*args)))
-    return (time.perf_counter() - t0) / reps
-
-
-def _median_diff(f1, f2, args, n1, n2, trials=5) -> float:
-    est = []
-    for _ in range(trials):
-        t1 = _time_call(f1, args)
-        t2 = _time_call(f2, args)
-        est.append((t2 - t1) / (n2 - n1))
-    return float(np.median(est))
 
 
 def bench(shape, gshape, dtype, n1=1, n2=65) -> None:
@@ -72,7 +62,7 @@ def bench(shape, gshape, dtype, n1=1, n2=65) -> None:
             f1, f2 = _chained(fn, n1), _chained(fn, n2)
             float(np.asarray(f1(x, grid)))
             float(np.asarray(f2(x, grid)))
-            us = _median_diff(f1, f2, (x, grid), n1, n2) * 1e6
+            us = _median_diff(f1, f2, (x, grid), n1, n2, trials=5) * 1e6
             print(f"{shape} {dtype.__name__:8s} {method:12s} {tag:8s} {us:8.1f} us")
 
 

@@ -43,8 +43,7 @@ def evaluate(
     host<->device transfers overlap TPU compute instead of serializing with
     it (matters doubly through a remote-TPU tunnel).
     """
-    import queue as _queue
-    import threading as _threading
+    from tpgsr_tpu.utils.prefetch import prefetch_iter
 
     n_correct = 0
     n_correct_lr = 0
@@ -55,80 +54,59 @@ def evaluate(
     n_images = 0
     n_batches = 0
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=2)
-    _END = object()
-    stop = _threading.Event()
+    # batches are padded up to the first batch's (mesh-divisible) size so
+    # every step reuses one compiled shape; with a mesh the batch must also
+    # divide across the devices (a val set smaller than batch_size would
+    # otherwise make device_put raise).  The transform runs in the single
+    # prefetch_iter producer thread, so full_batch's sequential growth and
+    # the device_put both happen off the consumer's critical path.
+    mult = mesh.size if mesh is not None else 1
+    full_batch = [0]
 
-    def _put(item) -> bool:
-        """q.put that gives up when the consumer has stopped (so the producer
-        can never block forever on an abandoned queue)."""
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.5)
-                return True
-            except _queue.Full:
-                continue
-        return False
+    def to_device(item):
+        bi, batch = item
+        labels = batch["labels"]
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        b = len(labels)
+        target = max(full_batch[0], -(-b // mult) * mult)
+        full_batch[0] = target
+        if b < target:
+            # padded rows are masked out below (labels has b entries)
+            from tpgsr_tpu.data.loader import pad_batch
 
-    def producer():
-        loader_iter = iter(val_loader)
+            arrays = pad_batch(arrays, target)
+            arrays.pop("_valid")
+        if mesh is not None:
+            from tpgsr_tpu.parallel import shard_batch
+
+            arrays = shard_batch(mesh, arrays)
+        return bi, batch, labels, b, arrays
+
+    def src():
+        # a closing generator (enumerate/islice would swallow .close(), and
+        # prefetch_iter relies on it to release loader worker pools)
+        it = iter(val_loader)
         try:
-            # batches are padded up to the first batch's (mesh-divisible)
-            # size so every step reuses one compiled shape; with a mesh the
-            # batch must also divide across the devices (a val set smaller
-            # than batch_size would otherwise make device_put raise)
-            mult = mesh.size if mesh is not None else 1
-            full_batch = 0
-            for bi, batch in enumerate(loader_iter):
+            for bi, batch in enumerate(it):
                 if max_batches and bi >= max_batches:
                     break
-                labels = batch["labels"]
-                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-                b = len(labels)
-                target = max(full_batch, -(-b // mult) * mult)
-                full_batch = target
-                if b < target:
-                    # padded rows are masked out below (labels has b entries)
-                    from tpgsr_tpu.data.loader import pad_batch
-
-                    arrays = pad_batch(arrays, target)
-                    arrays.pop("_valid")
-                if mesh is not None:
-                    from tpgsr_tpu.parallel import shard_batch
-
-                    arrays = shard_batch(mesh, arrays)
-                if not _put((bi, batch, labels, b, arrays)):
-                    return
-            _put(_END)
-        except BaseException as e:  # surfaced in the main thread
-            _put(e)
+                yield bi, batch
         finally:
-            close = getattr(loader_iter, "close", None)
+            close = getattr(it, "close", None)
             if close is not None:
-                close()  # release loader worker pools promptly
-
-    _threading.Thread(target=producer, daemon=True).start()
+                close()
 
     pending = None
-    try:
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            bi, batch, labels, b, arrays = item
-            dispatched = eval_step(state, arrays)  # async dispatch
-            if pending is not None:
-                _p = _process(pending, decoder, vis_dir, n_vis)
-                n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
-                for i, c in _p["stage"].items():
-                    stage_correct[i] = stage_correct.get(i, 0) + c
-                psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
-                n_images += _p["n"]; n_batches += 1
-            pending = (bi, batch, labels, b) + dispatched
-    finally:
-        stop.set()  # unblock the producer if we exit early
+    for bi, batch, labels, b, arrays in prefetch_iter(src(), to_device):
+        dispatched = eval_step(state, arrays)  # async dispatch
+        if pending is not None:
+            _p = _process(pending, decoder, vis_dir, n_vis)
+            n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
+            for i, c in _p["stage"].items():
+                stage_correct[i] = stage_correct.get(i, 0) + c
+            psnr_batches.append(_p["psnr"]); ssim_batches.append(_p["ssim"])
+            n_images += _p["n"]; n_batches += 1
+        pending = (bi, batch, labels, b) + dispatched
     if pending is not None:
         _p = _process(pending, decoder, vis_dir, n_vis)
         n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]

@@ -39,59 +39,19 @@ from tpgsr_tpu.train.step import make_eval_step, make_train_step
 def _device_prefetch(loader, mesh, depth: int = 2):
     """Iterate ``loader`` with batches already sharded onto the device.
 
-    A background thread runs collate-output -> ``shard_batch`` (device_put)
-    ``depth`` batches ahead, so the host->device transfer of batch i+1
-    overlaps the TPU compute of batch i (flax ``prefetch_to_device``
-    pattern).  Yields (device_arrays, raw_batch) pairs; raw_batch keeps
-    non-array fields (label strings).
+    The prefetch_iter producer runs collate-output -> ``shard_batch``
+    (device_put) ``depth`` batches ahead, so the host->device transfer of
+    batch i+1 overlaps the TPU compute of batch i (flax
+    ``prefetch_to_device`` pattern).  Yields (device_arrays, raw_batch)
+    pairs; raw_batch keeps non-array fields (label strings).
     """
-    import queue as _queue
-    import threading as _threading
+    from tpgsr_tpu.utils.prefetch import prefetch_iter
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-    _END = object()
-    stop = _threading.Event()
+    def to_device(batch):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return shard_batch(mesh, arrays), batch
 
-    def put(item) -> bool:
-        """q.put that gives up when the consumer has stopped, so an abandoned
-        epoch (early break / exception in the train loop) can't leave the
-        producer blocked forever holding a loader iteration."""
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.5)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    loader_iter = iter(loader)
-
-    def producer():
-        try:
-            for batch in loader_iter:
-                arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-                if not put((shard_batch(mesh, arrays), batch)):
-                    return
-            put(_END)
-        except BaseException as e:  # surface loader errors in the main thread
-            put(e)
-        finally:
-            close = getattr(loader_iter, "close", None)
-            if close is not None:
-                close()  # release loader worker pools promptly
-
-    t = _threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()  # unblock the producer if we exit early
+    yield from prefetch_iter(iter(loader), to_device, depth)
 
 
 def _collate_kind(arch: str, train: bool) -> str:
@@ -349,7 +309,12 @@ class TextSR:
         val_loaders = self.get_val_data()
         state = self._state or self.init_state()
         self._build_steps(with_train=not self.args.get("go_test"))
-        logger = ScalarLogger(os.path.join("tensorboard", self.vis_dir))
+        start_step = int(np.asarray(state.step))
+        # fresh runs clear the event dir (super_resolution.py:98-101); a
+        # continuation (chunked train() calls / resume) must append, or each
+        # slice would wipe the previous slices' scalars
+        logger = ScalarLogger(os.path.join("tensorboard", self.vis_dir),
+                              clear=start_step == 0)
 
         if self.args.get("go_test"):
             self._run_val(state, val_loaders, logger, iters=0)
@@ -364,9 +329,20 @@ class TextSR:
         save_int = int(t.saveInterval)
         times = []
 
-        for epoch in range(int(t.epochs)):
+        # Global epoch/iteration numbering derived from the restored step
+        # counter: a chunked run (repeated train() calls with t.epochs per
+        # call, e.g. examples/train_synthetic.py, or resume across
+        # processes) must give every global epoch a DISTINCT shuffle +
+        # augmentation stream and keep val/save intervals firing on global
+        # iteration numbers — a fresh loader otherwise restarts its epoch
+        # counter at 0 and each slice replays epoch 1's batch order.
+        spe = len(train_loader)
+        start_epoch = (start_step // spe) if spe else 0
+
+        for epoch in range(start_epoch, start_epoch + int(t.epochs)):
+            train_loader._epoch = epoch  # __iter__ advances to epoch+1
             for j, (arrays, batch) in enumerate(_device_prefetch(train_loader, self.mesh)):
-                iters = len(train_loader) * epoch + j + 1
+                iters = spe * epoch + j + 1
                 t0 = time.time()
                 state, metrics = self._train_step(state, arrays)
                 if iters % 5 == 0:
