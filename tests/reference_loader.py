@@ -80,11 +80,20 @@ def _install_stubs() -> None:
     vgg = _stub("torchvision.models.vgg", vgg16=None)
     models.vgg = vgg
     tv.models = models
-    # model/SEED/evaluation_metrics/metrics.py imports editdistance at module
-    # level; only the (unused-here) accuracy helpers call it.
-    _stub("editdistance", eval=lambda a, b: 0)
+    # utils/metrics.py and model/SEED/evaluation_metrics/metrics.py import
+    # editdistance at module level; give the stub a REAL Levenshtein (ours)
+    # so the reference's EditDistance helpers compute true values.
+    from tpgsr_tpu.utils.metrics import levenshtein as _lev
+
+    _stub("editdistance", eval=lambda a, b: _lev(str(a), str(b)))
     # model/SEED/utils/visualization_utils.py does `from scipy.misc import
     # imresize`, removed from scipy years ago; give the real module a dummy.
+    # utils/metrics.py uses the np.int alias removed in numpy 1.24
+    import numpy as _np2
+
+    for _name, _alias in (("int", int), ("float", float), ("bool", bool)):
+        if not hasattr(_np2, _name):
+            setattr(_np2, _name, _alias)
     # utils/utils_moran.py uses the pre-3.10 collections.Iterable alias
     import collections as _collections
     import collections.abc as _cabc

@@ -669,3 +669,50 @@ def test_reference_train_step_loss_simple_branch(rng, arch):
     np.testing.assert_allclose(
         float(np.asarray(metrics["loss_total"])), ref, rtol=2e-4
     )
+
+
+# ------------------------------------------------------- string/metric utils
+
+
+def test_reference_str_filt_and_crnn_decode(rng):
+    """The two string utilities every accuracy number flows through:
+    str_filt (utils/util.py:12-25) and the CRNN greedy CTC decode with its
+    blank-reset quirk (utils/metrics.py:71-89 get_string_crnn, where
+    'aa-aa' decodes to 'aa', not 'aaa')."""
+    from tpgsr_tpu.charset import str_filt
+    from tpgsr_tpu.ops.ctc import ctc_ids_to_strings
+
+    ref_util = load_reference_module("utils.util")
+    ref_metrics = load_reference_module("utils.metrics")
+
+    tricky = ["", "Hello!", "ABC123", "a b\tc", "café", "$%^&", "MiXeD09.,",
+              "___", "ZzZ", "42", "-punct-", "'quote'"]
+    for voc in ("digit", "lower", "upper", "all"):
+        for s in tricky:
+            assert str_filt(s, voc) == ref_util.str_filt(s, voc), (s, voc)
+
+    # random logits [T, B, C] through both decoders, incl. long blank/repeat
+    # runs (low C concentrates probability mass on repeats)
+    for c in (3, 37):
+        logits = rng.standard_normal((26, 8, c)).astype(np.float32)
+        alphabet = "-0123456789abcdefghijklmnopqrstuvwxyz"[:c]
+        ref = ref_metrics.get_string_crnn(torch.from_numpy(logits), alphabet)
+        ids = np.argmax(logits, axis=-1)
+        mine = ctc_ids_to_strings(ids, alphabet)
+        assert mine == ref
+
+
+def test_reference_edit_distance_math():
+    """Our pure-python Levenshtein backs the stubbed editdistance module, so
+    the reference's lexicon search ranks words identically
+    (utils/metrics.py:91-98 _lexicon_search)."""
+    from tpgsr_tpu.utils.metrics import _lexicon_search, levenshtein
+
+    ref_metrics = load_reference_module("utils.metrics")
+    lexicon = ["hello", "help", "hero", "world", "word", "he"]
+    for w in ("helo", "wrld", "h", "hxro", "word!"):
+        assert _lexicon_search(lexicon, w) == ref_metrics._lexicon_search(lexicon, w)
+    # pinned distances (independent hand-checked values, not stub-vs-self)
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("flaw", "lawn") == 2
