@@ -716,3 +716,26 @@ def test_reference_edit_distance_math():
     assert levenshtein("kitten", "sitting") == 3
     assert levenshtein("", "abc") == 3
     assert levenshtein("flaw", "lawn") == 2
+
+
+def test_reference_moran_decode(rng):
+    """decode_moran_ids vs the reference's eval decode flow: flat argmax ->
+    strLabelConverterForAttention.decode (utils/utils_moran.py:79-107, the
+    ':'-separated 0..z$ alphabet of base.py:233-234) -> split('$')[0]
+    (super_resolution.py:929-934)."""
+    import string as _string
+
+    from tpgsr_tpu.models.moran import decode_moran_ids
+
+    ref_moran = load_reference_module("utils.utils_moran")
+    alphabet = ":".join(_string.digits + _string.ascii_lowercase + "$")
+    converter = ref_moran.strLabelConverterForAttention(alphabet, ":")
+
+    b, l, c = 6, 20, 37
+    logits = rng.standard_normal((b, l, c)).astype(np.float32)
+    flat = torch.from_numpy(logits.reshape(b * l, c))
+    _, preds = flat.max(1)
+    lengths = torch.full((b,), l, dtype=torch.long)
+    sim_preds = converter.decode(preds.data, lengths)
+    ref = [p.split("$")[0] for p in sim_preds]
+    assert decode_moran_ids(logits) == ref
