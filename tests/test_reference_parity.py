@@ -739,3 +739,25 @@ def test_reference_moran_decode(rng):
     sim_preds = converter.decode(preds.data, lengths)
     ref = [p.split("$")[0] for p in sim_preds]
     assert decode_moran_ids(logits) == ref
+
+
+def test_reference_aster_string_decode(rng):
+    """decode_aster_ids vs the reference's get_string_aster
+    (utils/metrics.py:20-68): stop at EOS, drop UNKNOWN, then the
+    _normalize_text filter+lower."""
+    from tpgsr_tpu.charset import AsterInfo
+    from tpgsr_tpu.models.aster import decode_aster_ids
+
+    ref_metrics = load_reference_module("utils.metrics")
+    for voc in ("lower", "all"):
+        info = AsterInfo(voc)
+        b, l = 7, 12
+        ids = rng.integers(0, info.rec_num_classes, size=(b, l))
+        # force some rows to hit EOS early / contain UNKNOWN
+        ids[0, 3] = info.char2id[info.EOS]
+        ids[1, 0] = info.char2id[info.EOS]
+        ids[2, 2] = info.char2id[info.UNKNOWN]
+        ref_pred, _ = ref_metrics.get_string_aster(
+            torch.from_numpy(ids), torch.from_numpy(ids), dataset=info
+        )
+        assert decode_aster_ids(ids, info) == ref_pred

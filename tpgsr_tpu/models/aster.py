@@ -320,8 +320,16 @@ class RecognizerBuilder(nn.Module):
 
 
 def decode_aster_ids(ids: np.ndarray, aster_info) -> list:
-    """ids [B, L] -> strings (utils/metrics.py:20-45 get_string_aster: stop
-    at EOS, skip UNKNOWN, then _normalize_text = keep alnum, lowercase)."""
+    """ids [B, L] -> strings (utils/metrics.py:20-68 get_string_aster: stop
+    at EOS, skip UNKNOWN, then _normalize_text = keep alnum, lowercase).
+
+    Quirk mirrored: _normalize_text filters TOKENS with a substring test
+    (``x in string.digits + string.ascii_letters``), so a multi-char
+    special token like 'PADDING' silently drops as a whole — it is NOT
+    spelled out as the literal text 'padding'."""
+    import string as _string
+
+    keep = set(_string.digits + _string.ascii_letters)
     end = aster_info.char2id[aster_info.EOS]
     unk = aster_info.char2id[aster_info.UNKNOWN]
     out = []
@@ -332,9 +340,10 @@ def decode_aster_ids(ids: np.ndarray, aster_info) -> list:
             if v == end:
                 break
             if v != unk:
-                chars.append(aster_info.id2char[v])
-        s = "".join(chars)
-        out.append("".join(ch for ch in s if ch.isalnum()).lower())
+                tok = aster_info.id2char[v]
+                if len(tok) == 1 and tok in keep:
+                    chars.append(tok)
+        out.append("".join(chars).lower())
     return out
 
 
