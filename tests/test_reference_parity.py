@@ -761,3 +761,32 @@ def test_reference_aster_string_decode(rng):
             torch.from_numpy(ids), torch.from_numpy(ids), dataset=info
         )
         assert decode_aster_ids(ids, info) == ref_pred
+
+
+def test_reference_accuracy_edit_distance_recpostprocess(rng):
+    """Accuracy / EditDistance / RecPostProcess vs the reference's own
+    helpers (utils/metrics.py:100-105,147-152,194-206) on the same decoded
+    id tensors (editdistance is stubbed with our real Levenshtein)."""
+    from tpgsr_tpu.charset import AsterInfo
+    from tpgsr_tpu.models.aster import decode_aster_ids
+    from tpgsr_tpu.utils.metrics import accuracy, edit_distance, rec_post_process
+
+    ref_metrics = load_reference_module("utils.metrics")
+    info = AsterInfo("lower")
+    b, l = 10, 9
+    pred_ids = rng.integers(0, info.rec_num_classes, size=(b, l))
+    targ_ids = pred_ids.copy()
+    targ_ids[::3] = rng.integers(0, info.rec_num_classes, size=targ_ids[::3].shape)
+    pred_ids[0, 2] = info.char2id[info.EOS]
+
+    preds = decode_aster_ids(pred_ids, info)
+    targs = decode_aster_ids(targ_ids, info)
+    po, to_ = torch.from_numpy(pred_ids), torch.from_numpy(targ_ids)
+
+    assert accuracy(preds, targs) == ref_metrics.Accuracy(po, to_, info)
+    assert edit_distance(preds, targs) == ref_metrics.EditDistance(po, to_, info)
+
+    scores = rng.uniform(0.1, 1.0, size=(b, l)).astype(np.float32)
+    _, _, ref_scores = ref_metrics.RecPostProcess(po, to_, torch.from_numpy(scores), info)
+    mine = rec_post_process(preds, scores, max_len_labels=l)
+    np.testing.assert_allclose(mine, ref_scores, rtol=1e-6)
