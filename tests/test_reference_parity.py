@@ -790,3 +790,27 @@ def test_reference_accuracy_edit_distance_recpostprocess(rng):
     _, _, ref_scores = ref_metrics.RecPostProcess(po, to_, torch.from_numpy(scores), info)
     mine = rec_post_process(preds, scores, max_len_labels=l)
     np.testing.assert_allclose(mine, ref_scores, rtol=1e-6)
+
+
+def test_reference_ctc_label_converter():
+    """CTCLabelConverter encode/decode vs the reference's strLabelConverter
+    (utils/util.py:29-108): index+1 with blank=0, repeat-collapse decode,
+    raw mode."""
+    from tpgsr_tpu.charset import CTC_ALPHABET, CTCLabelConverter
+
+    ref_util = load_reference_module("utils.util")
+    mine = CTCLabelConverter()
+    ref = ref_util.strLabelConverter(CTC_ALPHABET)
+
+    texts = ["hello", "0", "tpgsr2026", "zz", "a0a0"]
+    ids, lens = mine.encode(texts)
+    rt, rl = ref.encode(texts)
+    assert ids.tolist() == rt.tolist()
+    assert lens.tolist() == rl.tolist()
+
+    # decode: collapsed and raw, incl. repeats and blanks
+    seq = [1, 1, 0, 1, 2, 2, 0, 0, 3]
+    for raw in (False, True):
+        assert mine.decode(seq, len(seq), raw=raw) == ref.decode(
+            torch.IntTensor(seq), torch.IntTensor([len(seq)]), raw=raw
+        )
