@@ -8,6 +8,9 @@ Single-controller JAX: params replicated, batches sharded over a 1-D
 from tpgsr_tpu.parallel.mesh import (
     batch_sharding,
     data_mesh,
+    host_local_batch_to_global,
+    multihost_data_mesh,
+    pad_to_multiple,
     replicated,
     shard_batch,
     shard_params,
@@ -16,6 +19,9 @@ from tpgsr_tpu.parallel.mesh import (
 __all__ = [
     "data_mesh",
     "batch_sharding",
+    "host_local_batch_to_global",
+    "multihost_data_mesh",
+    "pad_to_multiple",
     "replicated",
     "shard_batch",
     "shard_params",

@@ -27,6 +27,21 @@ from flax import serialization
 from tpgsr_tpu.train.state import TrainState
 
 
+def is_primary_host() -> bool:
+    """True on the process that owns file writes (process 0).
+
+    Multi-host data parallelism replicates params on every host, so every
+    process reaches ``save_checkpoint`` with identical state; only one may
+    write or the hosts race on shared storage.  Read the id from
+    ``jax.distributed``'s global state (set by ``initialize()``, default 0)
+    rather than ``jax.process_index()`` — the latter forces backend
+    initialization, which dials the TPU tunnel.
+    """
+    from jax._src import distributed
+
+    return (distributed.global_state.process_id or 0) == 0
+
+
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
@@ -62,7 +77,11 @@ def save_checkpoint(
       <ckpt_dir>/model_best_<i>.msgpack          when is_best
       <ckpt_dir>/recognizer_best_<i>.msgpack     when is_best (students)
       <ckpt_dir>/opt_state.msgpack, info.json
+
+    Multi-host: only process 0 writes (state is replicated on every host).
     """
+    if not is_primary_host():
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     for i, (p, s) in enumerate(zip(state.sr_params, state.sr_stats)):
         tree = {"params": p, "batch_stats": s}

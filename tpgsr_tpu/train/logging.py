@@ -21,11 +21,18 @@ from typing import Optional
 
 class ScalarLogger:
     def __init__(self, log_dir: str, clear: bool = True):
+        # Multi-host: every process runs the train loop on identical
+        # replicated metrics; only process 0 writes event files.
+        from tpgsr_tpu.train.checkpoint import is_primary_host
+
+        self._jsonl = None
+        self._tb = None
+        if not is_primary_host():
+            return
         if clear and os.path.isdir(log_dir):
             shutil.rmtree(log_dir)  # super_resolution.py:98-101
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -34,6 +41,8 @@ class ScalarLogger:
             pass
 
     def add_scalar(self, tag: str, value: float, global_step: int) -> None:
+        if self._jsonl is None:
+            return
         self._jsonl.write(
             json.dumps({"t": time.time(), "tag": tag, "value": float(value), "step": int(global_step)})
             + "\n"
@@ -43,6 +52,7 @@ class ScalarLogger:
             self._tb.add_scalar(tag, float(value), global_step=global_step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

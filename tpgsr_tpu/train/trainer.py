@@ -44,12 +44,18 @@ def _device_prefetch(loader, mesh, depth: int = 2):
     batch i+1 overlaps the TPU compute of batch i (flax
     ``prefetch_to_device`` pattern).  Yields (device_arrays, raw_batch)
     pairs; raw_batch keeps non-array fields (label strings).
+
+    Multi-process (multi-host DCN): each host's loader batch is its local
+    shard of the global batch — ``host_local_batch_to_global`` assembles the
+    global sharded arrays (single-process it IS ``shard_batch``; the
+    cross-process step itself is proven in tests/test_multihost.py).
     """
+    from tpgsr_tpu.parallel import host_local_batch_to_global
     from tpgsr_tpu.utils.prefetch import prefetch_iter
 
     def to_device(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        return shard_batch(mesh, arrays), batch
+        return host_local_batch_to_global(mesh, arrays), batch
 
     yield from prefetch_iter(iter(loader), to_device, depth)
 

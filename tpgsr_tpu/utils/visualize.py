@@ -52,7 +52,9 @@ def tripple_display(
 ) -> None:
     """Save the first n_vis samples as LR|SR|HR grids (skips index 0, as the
     reference does)."""
-    if index == 0:
+    from tpgsr_tpu.train.checkpoint import is_primary_host
+
+    if index == 0 or not is_primary_host():
         return
     out = os.path.join(out_root, vis_dir, str(index))
     os.makedirs(out, exist_ok=True)
@@ -74,14 +76,20 @@ def test_display(
     out_root: str = "./display",
 ) -> int:
     """Save samples where SR fixed the recognition (LR wrong, SR right);
-    returns the count saved."""
+    returns the count counted (multi-host: every process counts identically,
+    only process 0 writes the PNGs)."""
+    from tpgsr_tpu.train.checkpoint import is_primary_host
+
+    write = is_primary_host()
     out = os.path.join(out_root, vis_dir)
-    os.makedirs(out, exist_ok=True)
+    if write:
+        os.makedirs(out, exist_ok=True)
     visualized = 0
     for i in range(images_lr.shape[0]):
         gt = str_filt(label_strs[i], "lower")
         if str_filt(pred_str_lr[i], "lower") != gt and str_filt(pred_str_sr[i], "lower") == gt:
             visualized += 1
-            name = _safe(f"{pred_str_lr[i]}_{pred_str_sr[i]}_{label_strs[i]}_.png")
-            _grid(images_lr[i], images_sr[i], images_hr[i]).save(os.path.join(out, name))
+            if write:
+                name = _safe(f"{pred_str_lr[i]}_{pred_str_sr[i]}_{label_strs[i]}_.png")
+                _grid(images_lr[i], images_sr[i], images_hr[i]).save(os.path.join(out, name))
     return visualized
