@@ -119,6 +119,60 @@ class TorchLinear(nn.Module):
         return y
 
 
+class TorchBatchNorm(nn.Module):
+    """torch ``nn.BatchNorm{1,2}d``-exact batch norm.
+
+    flax ``nn.BatchNorm`` stores the *biased* batch variance in its running
+    average; torch stores the *unbiased* (Bessel-corrected, n/(n-1)) one
+    while still normalizing with the biased variance in train mode.  Over a
+    training run the flax running_var converges to (n-1)/n of torch's, so
+    eval-mode outputs drift from a torch-trained reference.  This module
+    mirrors torch exactly: eps 1e-5, EMA momentum 0.1 (= flax-convention
+    0.9), Bessel-corrected running_var, stats computed in fp32.
+
+    Variable layout matches flax nn.BatchNorm (params scale/bias,
+    batch_stats mean/var) so checkpoints and the torch importers are
+    unaffected; callers pass ``name="BatchNorm_0"`` where this replaces an
+    auto-named flax BatchNorm.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = x.size // feat  # elements per channel (static)
+                bessel = float(n) / float(n - 1) if n > 1 else 1.0
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * bessel
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (
+            (x.astype(jnp.float32) - mean) * inv + bias
+        ).astype(x.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)."""
 
@@ -127,9 +181,9 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
-        return nn.BatchNorm(
-            use_running_average=ura, momentum=0.9, epsilon=1e-5, dtype=x.dtype
-        )(x)
+        # named BatchNorm_0 to keep the pre-existing variable paths (this
+        # slot used to hold a flax nn.BatchNorm)
+        return TorchBatchNorm(use_running_average=ura, name="BatchNorm_0")(x)
 
 
 class PReLU(nn.Module):

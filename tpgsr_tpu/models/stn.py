@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tpgsr_tpu.models.layers import BatchNorm, TorchLinear
+from tpgsr_tpu.models.layers import TorchBatchNorm, TorchLinear
 from tpgsr_tpu.ops.grid_sample import grid_sample
 
 
@@ -50,8 +50,7 @@ class _ConvBlock(nn.Module):
             x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias.astype(x.dtype)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=x.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train, name="BatchNorm_0")(x)
         return nn.relu(x)
 
 
@@ -101,8 +100,7 @@ class STNHead(nn.Module):
         w1 = self.param("fc1_kernel", lambda k, s: jax.random.normal(k, s) * 0.001, (x.shape[-1], 512))
         b1 = self.param("fc1_bias", nn.initializers.zeros, (512,))
         img_feat = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
-        img_feat = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                                dtype=img_feat.dtype)(img_feat)
+        img_feat = TorchBatchNorm(use_running_average=not train, name="BatchNorm_0")(img_feat)
         img_feat = nn.relu(img_feat)
 
         # fc2: zero weights, bias = init control-point grid (stn_head.py:73-90)
