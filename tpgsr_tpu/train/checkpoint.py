@@ -37,9 +37,19 @@ def is_primary_host() -> bool:
     rather than ``jax.process_index()`` — the latter forces backend
     initialization, which dials the TPU tunnel.
     """
-    from jax._src import distributed
+    try:
+        from jax._src import distributed
 
-    return (distributed.global_state.process_id or 0) == 0
+        return (getattr(distributed.global_state, "process_id", 0) or 0) == 0
+    except Exception:
+        # jax._src layout is private and has moved across releases; fall back
+        # to the public API, but only when a backend already exists (calling
+        # it cold would dial the TPU tunnel)
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return jax.process_index() == 0
+        return True
 
 
 def _to_host(tree: Any) -> Any:
