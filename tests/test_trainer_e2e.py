@@ -271,6 +271,57 @@ def test_eval_step_rebuilt_when_recognizer_changes(lmdb_dir, tmp_path, monkeypat
     assert mission._eval_step is step_moran
 
 
+def test_dispatch_chain_trajectory_matches_single_step(lmdb_dir, tmp_path, monkeypatch):
+    """TRAIN.dispatch_chain > 1 (k train steps scanned inside one jit
+    dispatch, the tunnel-RTT amortization of docs/perf_notes.md) must be a
+    pure DISPATCH optimization: identical per-iteration loss scalars,
+    val/ckpt still firing on their exact global iterations (chunks are cut
+    at interval boundaries), and the same final step counter."""
+    monkeypatch.chdir(tmp_path)
+
+    def run(chain, vis):
+        config = load_config()
+        t = config.TRAIN
+        t.train_data_dir = [lmdb_dir]
+        t.VAL.val_data_dir = [lmdb_dir]
+        t.batch_size = 8
+        t.epochs = 3            # 2 iters/epoch -> 6 iters
+        t.displayInterval = 1000
+        t.VAL.valInterval = 3   # forces a mid-epoch chunk cut (3 % 2 != 0)
+        t.saveInterval = 1000
+        t.dispatch_chain = chain
+        t.ckpt_dir = str(tmp_path / f"ckpt_{vis}")
+        args = default_args(arch="srcnn", srb=2, hd_u=8, batch_size=8,
+                            vis_dir=vis)
+        state = TextSR(config, args).train()
+        log = os.path.join("tensorboard", vis, "scalars.jsonl")
+        recs = [json.loads(l) for l in open(log)]
+        return state, recs
+
+    s1, r1 = run(1, "chain1")
+    s4, r4 = run(4, "chain4")
+    assert int(np.asarray(s1.step)) == int(np.asarray(s4.step)) == 6
+
+    def stream(recs, prefix):
+        return sorted((r["tag"], r["step"], r["value"]) for r in recs
+                      if r["tag"].startswith(prefix))
+
+    # the loss scalar stream (every 5th iter) is identical
+    l1, l4 = stream(r1, "loss/"), stream(r4, "loss/")
+    assert [(t_, s_) for t_, s_, _ in l1] == [(t_, s_) for t_, s_, _ in l4]
+    np.testing.assert_allclose([v for *_, v in l1], [v for *_, v in l4],
+                               rtol=1e-5)
+    # eval fired at the exact global iterations 3 and 6 in BOTH modes
+    for recs in (r1, r4):
+        evals = {r["step"] for r in recs if r["tag"].startswith("eval/")}
+        assert evals == {3, 6}
+    # and the eval metrics agree (the states at iter 3/6 match)
+    e1, e4 = stream(r1, "eval/"), stream(r4, "eval/")
+    assert [(t_, s_) for t_, s_, _ in e1] == [(t_, s_) for t_, s_, _ in e4]
+    np.testing.assert_allclose([v for *_, v in e1], [v for *_, v in e4],
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_chunked_train_calls_continue_globally(lmdb_dir, tmp_path, monkeypatch):
     """Repeated train() calls (epochs=1 per call, the resumable-chunk
     pattern of examples/train_synthetic.py) must continue GLOBAL epoch and

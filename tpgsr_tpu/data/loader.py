@@ -30,6 +30,13 @@ class DataLoader:
     context (safe with live JAX threads), and reseeds each worker's
     dataset RNGs per epoch with base_seed+worker_id.  Batches come back
     over pipes as pickled numpy arrays (a few MB each).
+
+    Multi-host (``shard_count > 1``, DistributedSampler-style): every host
+    runs the identical seeded shuffle, then each takes its CONTIGUOUS
+    ``batch_size/shard_count`` slice of every global batch — hosts yield
+    disjoint rows whose concatenation (in process order, exactly how
+    ``host_local_batch_to_global`` lays out the global array) reproduces the
+    single-host batch.  ``batch_size`` stays the GLOBAL batch size.
     """
 
     def __init__(
@@ -43,6 +50,8 @@ class DataLoader:
         prefetch: int = 4,
         num_threads: int = 2,
         num_workers: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +62,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_threads = max(1, num_threads)
         self.num_workers = max(0, num_workers)
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
+        if self.shard_count > 1:
+            if batch_size % self.shard_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly over "
+                    f"{self.shard_count} processes"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "shard_count > 1 requires drop_last=True (a partial "
+                    "final batch cannot be split evenly across hosts; eval "
+                    "paths shard inside evaluate() instead)"
+                )
         self._epoch = 0
         # persistent worker pool state (num_workers > 0)
         self._procs: list = []
@@ -73,8 +96,12 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        local = self.batch_size // self.shard_count
         for s in range(0, end, self.batch_size):
-            yield idx[s : s + self.batch_size]
+            b = idx[s : s + self.batch_size]
+            if self.shard_count > 1:
+                b = b[self.shard_index * local : (self.shard_index + 1) * local]
+            yield b
 
     def __iter__(self) -> Iterator[Dict]:
         self._epoch += 1

@@ -8,9 +8,11 @@ Single-controller JAX: params replicated, batches sharded over a 1-D
 from tpgsr_tpu.parallel.mesh import (
     batch_sharding,
     data_mesh,
+    gather_global_to_host,
     host_local_batch_to_global,
     multihost_data_mesh,
     pad_to_multiple,
+    process_shard_info,
     replicated,
     shard_batch,
     shard_params,
@@ -19,9 +21,11 @@ from tpgsr_tpu.parallel.mesh import (
 __all__ = [
     "data_mesh",
     "batch_sharding",
+    "gather_global_to_host",
     "host_local_batch_to_global",
     "multihost_data_mesh",
     "pad_to_multiple",
+    "process_shard_info",
     "replicated",
     "shard_batch",
     "shard_params",

@@ -98,6 +98,30 @@ def multihost_data_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), ("data",))
 
 
+def process_shard_info() -> tuple:
+    """``(process_index, process_count)`` WITHOUT forcing backend init.
+
+    ``jax.process_index()`` initializes the backend, which dials the TPU
+    tunnel (slow, and wrong from a data-loader constructor).  Reads the
+    distributed service state directly: a process that never called
+    ``jax.distributed.initialize`` is by definition a single-process run.
+    Falls back to the public API if the private layout ever moves.
+    """
+    try:
+        from jax._src import distributed
+
+        st = distributed.global_state
+        if getattr(st, "coordinator_address", None) is None:
+            return 0, 1
+        return int(st.process_id or 0), int(st.num_processes or 1)
+    except Exception:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return jax.process_index(), jax.process_count()
+        return 0, 1
+
+
 def host_local_batch_to_global(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Assemble per-host batch shards into global sharded arrays.
 
@@ -115,3 +139,29 @@ def host_local_batch_to_global(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, A
         else:
             out[k] = v
     return out
+
+
+def gather_global_to_host(mesh: Mesh, tree: Any) -> Any:
+    """Materialize global (possibly non-fully-addressable) arrays as FULL
+    numpy arrays on every host.
+
+    Multi-host eval needs the per-sample outputs (logits, mse, ssim) of the
+    whole global batch on every host so each one decodes/scores identically
+    (and the best-checkpoint decision agrees everywhere).  Single-process
+    arrays are fully addressable and come back via a plain device_get; in a
+    multi-process run the batch-sharded output is allgathered by resharding
+    to replicated (``global_array_to_host_local_array`` with ``P()`` — the
+    inverse of how ``host_local_batch_to_global`` assembled the inputs).
+    """
+    from jax.experimental import multihost_utils
+
+    def one(v):
+        if not isinstance(v, jax.Array):
+            return v
+        if v.is_fully_addressable:
+            return np.asarray(v)
+        return np.asarray(
+            multihost_utils.global_array_to_host_local_array(v, mesh, P())
+        )
+
+    return jax.tree_util.tree_map(one, tree)

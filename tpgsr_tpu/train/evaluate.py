@@ -60,6 +60,17 @@ def evaluate(
     # otherwise make device_put raise).  The transform runs in the single
     # prefetch_iter producer thread, so full_batch's sequential growth and
     # the device_put both happen off the consumer's critical path.
+    #
+    # Multi-host (process_count > 1): every host's loader yields the SAME
+    # full batches (val loaders never shard; shuffle=False), each host
+    # device_puts only its contiguous row slice
+    # (host_local_batch_to_global), and the step's per-sample outputs are
+    # allgathered back so every host decodes and scores the full batch
+    # identically — the metric_dict (and hence is_best / checkpoint
+    # decisions) agrees on all hosts with the single-process run.
+    from tpgsr_tpu.parallel import process_shard_info
+
+    pi, pc = process_shard_info()
     mult = mesh.size if mesh is not None else 1
     full_batch = [0]
 
@@ -77,9 +88,16 @@ def evaluate(
             arrays = pad_batch(arrays, target)
             arrays.pop("_valid")
         if mesh is not None:
-            from tpgsr_tpu.parallel import shard_batch
+            if pc > 1:
+                from tpgsr_tpu.parallel import host_local_batch_to_global
 
-            arrays = shard_batch(mesh, arrays)
+                local = target // pc
+                arrays = {k: v[pi * local : (pi + 1) * local] for k, v in arrays.items()}
+                arrays = host_local_batch_to_global(mesh, arrays)
+            else:
+                from tpgsr_tpu.parallel import shard_batch
+
+                arrays = shard_batch(mesh, arrays)
         return bi, batch, labels, b, arrays
 
     def src():
@@ -99,6 +117,17 @@ def evaluate(
     pending = None
     for bi, batch, labels, b, arrays in prefetch_iter(src(), to_device):
         dispatched = eval_step(state, arrays)  # async dispatch
+        if pc > 1:
+            # allgather the batch-sharded per-sample outputs so each host
+            # scores the FULL batch (collective: every host reaches it on
+            # every batch — loaders are identical, so counts agree)
+            from tpgsr_tpu.parallel import gather_global_to_host
+
+            sr_out, outs = dispatched
+            outs = gather_global_to_host(mesh, outs)
+            if vis_dir:
+                sr_out = gather_global_to_host(mesh, sr_out)
+            dispatched = (sr_out, outs)
         if pending is not None:
             _p = _process(pending, decoder, vis_dir, n_vis)
             n_correct += _p["c"]; n_correct_lr += _p["c_lr"]; n_correct_hr += _p["c_hr"]
