@@ -32,7 +32,11 @@ def _stub(name: str, **attrs) -> types.ModuleType:
         mod = types.ModuleType(name)
         sys.modules[name] = mod
     for k, v in attrs.items():
-        setattr(mod, k, v)
+        # never clobber an attribute something else already provided — e.g.
+        # the functional lmdb shim test_reference_whole_run installs (backed
+        # by tpgsr_tpu.data.lmdb.LMDBReader) must keep its real ``open``
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
     return mod
 
 
