@@ -344,3 +344,131 @@ def test_native_bounds_corrupt_overflow_dsize(tmp_path):
         eng.get(b"big")
     assert eng.get(b"k") == b"v"  # intact records still readable
     eng.close()
+
+
+class TestRobustnessSweep:
+    """VERDICT r2 item 10: real liblmdb files come in page sizes this box
+    never produces by default (4K is the liblmdb default; 8K/16K appear on
+    large-page systems), end exactly at a page boundary, and can carry a
+    torn final meta after a crash.  Since real ``data.mdb`` files remain
+    unseeable in this environment, sweep those layouts synthetically."""
+
+    @pytest.mark.parametrize("psize", [4096, 8192, 16384])
+    def test_page_size_sweep_multicommit_overflow(self, psize, tmp_path):
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        rnd = random.Random(psize)
+        model = {}
+        first = {}
+        for i in range(120):
+            # values straddling the inline/overflow threshold FOR THIS psize
+            # (liblmdb: inline iff <= (psize-16)/2-ish via nodemax)
+            size = rnd.choice([10, psize // 4, psize // 2, psize, 3 * psize + 7])
+            first[b"k%06d" % i] = bytes(rnd.getrandbits(8) for _ in range(size))
+        model.update(first)
+        write_lmdb(str(tmp_path), list(first.items()), psize=psize)
+
+        for _commit in range(3):
+            batch = {}
+            for k in rnd.sample(sorted(model), k=30):
+                batch[k] = bytes(rnd.getrandbits(8) for _ in range(rnd.choice([5, psize * 2])))
+            for i in range(40):
+                batch[b"n%06d-%d" % (i, _commit)] = b"v" * rnd.randint(1, psize)
+            model.update(batch)
+            append_lmdb(str(tmp_path), list(batch.items()))
+
+        with LMDBReader(str(tmp_path)) as env:
+            assert env.psize == psize
+            scanned = list(env.items())
+            assert [k for k, _ in scanned] == sorted(model)
+            assert all(model[k] == v for k, v in scanned)
+            if env._native is not None:
+                for k in rnd.sample(sorted(model), k=50):
+                    assert env._native.get(k) == model[k]
+
+    def test_record_ends_exactly_at_file_end(self, tmp_path):
+        """An overflow value whose DATA ends flush at the final byte of the
+        file — the off-by-one case for the readers' mmap bounds checks.
+        Our writer allocates leaf/root pages after overflow chains, so the
+        layout is built by relocating pages: [m0 m1 ov ov ov leaf] ->
+        [m0 m1 leaf ov ov ov] with the node pointer and meta root patched
+        (real liblmdb produces such layouts via freelist reuse)."""
+        import struct
+
+        from tpgsr_tpu.data.lmdb import PAGEHDRSZ
+
+        psize = 4096
+        exact = 3 * psize - PAGEHDRSZ  # fills its 3 overflow pages exactly
+        write_lmdb(str(tmp_path), [(b"a", b"s"), (b"zz", b"E" * exact)],
+                   psize=psize)
+        path = str(tmp_path / "data.mdb")
+        buf = bytearray(open(path, "rb").read())
+        assert len(buf) == 6 * psize  # metas, ov x3 (pages 2-4), leaf (5)
+
+        def page(i):
+            return buf[i * psize : (i + 1) * psize]
+
+        new = buf[: 2 * psize] + page(5) + page(2) + page(3) + page(4)
+        # repage headers: mp_pgno is the first u64 — but ONLY the leaf and
+        # the overflow chain HEAD have headers; continuation overflow pages
+        # are raw value bytes
+        for pgno in (2, 3):
+            struct.pack_into("<Q", new, pgno * psize, pgno)
+        # leaf (now page 2): point the F_BIGDATA node for b"zz" at page 3
+        off = 2 * psize
+        lower = struct.unpack_from("<H", new, off + 12)[0]
+        patched = False
+        for i in range((lower - PAGEHDRSZ) // 2):
+            noff = off + struct.unpack_from("<H", new, off + PAGEHDRSZ + 2 * i)[0]
+            nfl = struct.unpack_from("<H", new, noff + 4)[0]
+            ks = struct.unpack_from("<H", new, noff + 6)[0]
+            if nfl & 0x01 and bytes(new[noff + 8 : noff + 8 + ks]) == b"zz":
+                struct.pack_into("<Q", new, noff + 8 + ks, 3)
+                patched = True
+        assert patched
+        # both metas: main root 5 -> 2 (md_root is the last u64 of MDB_db)
+        for moff in (0, psize):
+            # PAGEHDRSZ + meta prefix (24) + FREE_DBI (48) -> MAIN_DBI
+            base = moff + PAGEHDRSZ + 24 + 48
+            assert struct.unpack_from("<Q", new, base + 40)[0] == 5
+            struct.pack_into("<Q", new, base + 40, 2)
+        open(path, "wb").write(bytes(new))
+
+        with LMDBReader(str(tmp_path)) as env:
+            assert env.get(b"zz") == b"E" * exact  # read ends AT the mmap end
+            assert env.get(b"a") == b"s"
+            if env._native is not None:
+                assert env._native.get(b"zz") == b"E" * exact
+
+    @pytest.mark.parametrize("damage", ["zero_magic", "garbage", "truncate_half"])
+    def test_torn_final_meta_falls_back_to_previous_commit(self, damage, tmp_path):
+        """Crash-torn final meta: liblmdb recovers by using the OTHER meta
+        (highest VALID txnid).  Tear the newest meta three ways; the reader
+        must serve the previous commit's consistent snapshot."""
+        from tpgsr_tpu.data.lmdb import append_lmdb
+
+        write_lmdb(str(tmp_path), [(b"k1", b"v1"), (b"k2", b"v2")])
+        append_lmdb(str(tmp_path), [(b"k2", b"v2b"), (b"k3", b"v3")])
+        path = str(tmp_path / "data.mdb")
+        with LMDBReader(str(tmp_path)) as env:
+            psize = env.psize
+            newest_slot = env.txnid % 2  # append wrote the stale slot
+            assert env.get(b"k3") == b"v3"
+
+        buf = bytearray(open(path, "rb").read())
+        off = newest_slot * psize
+        rnd = random.Random(1)
+        if damage == "zero_magic":
+            buf[off + 16 : off + 16 + 4] = b"\x00" * 4
+        elif damage == "garbage":
+            buf[off : off + psize] = bytes(rnd.getrandbits(8) for _ in range(psize))
+        else:  # torn write: only half the meta page made it to disk
+            half = off + psize // 2
+            buf[off + 16 : half] = bytes(rnd.getrandbits(8) for _ in range(half - off - 16))
+        open(path, "wb").write(bytes(buf))
+
+        with LMDBReader(str(tmp_path)) as env:
+            # previous commit's snapshot: k1/k2 original values, no k3
+            assert env.get(b"k1") == b"v1"
+            assert env.get(b"k2") == b"v2"
+            assert env.get(b"k3") is None
