@@ -308,3 +308,92 @@ def test_checkpoint_restore_modes(tmp_path):
     ev = ckpt.restore_checkpoint(d, fresh2, prefer_best=True)
     np.testing.assert_allclose(p0(ev), p0(best))
     assert int(np.asarray(ev.step)) == int(np.asarray(fresh2.step))  # untouched
+
+
+def test_eval_step_tiled_equivalence():
+    """Large-batch eval tiling (ops/tiling.py): lax.map over batch tiles
+    must reproduce the flat eval step — images, per-sample metrics, and the
+    time-major CRNN logits reassembly."""
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+
+    bb = 16  # > tile so tiling actually triggers under the 8-device mesh
+    rng = np.random.default_rng(3)
+    batch = {
+        "hr": rng.random((bb, H * 2, W * 2, 4)).astype(np.float32),
+        "lr": rng.random((bb, H, W, 4)).astype(np.float32),
+    }
+
+    config.TRAIN.eval_tile = 0
+    flat = make_eval_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config)
+    # eval_tile is per-device; tests run on 8 virtual devices -> tile 8
+    config.TRAIN.eval_tile = 1
+    tiled = make_eval_step("tsrn_tl_cascade", spec, sr_model, stu_model, args, config)
+    config.TRAIN.eval_tile = 0
+
+    sr_f, outs_f = flat(state, batch)
+    sr_t, outs_t = tiled(state, batch)
+    np.testing.assert_allclose(np.asarray(sr_t), np.asarray(sr_f), atol=2e-6)
+    assert set(outs_t) == set(outs_f)
+    for k in outs_f:
+        np.testing.assert_allclose(
+            np.asarray(outs_t[k]), np.asarray(outs_f[k]), atol=2e-5,
+            err_msg=k,
+        )
+
+
+def _assert_tree_equal(a, b, msg=""):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb, f"{msg}: tree structure differs"
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), err_msg=msg)
+
+
+def test_reference_pth_restore(tmp_path):
+    """restore_reference_checkpoint: the reference's own save layout — a
+    ckpt dir with per-stage model_best_<i>.pth save_dicts plus raw
+    recognizer_best_<i>.pth state_dicts (base.py:402-424,546-575) — loads
+    into a TrainState.  Stage 0 is replaced (params AND batch_stats), later
+    stages keep their init, the teacher and Adam state are untouched."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_mirror import build_torch_crnn, build_torch_tsrn_tl
+    from tpgsr_tpu.interop.torch_import import (
+        import_crnn, import_tsrn, is_torch_checkpoint,
+        restore_reference_checkpoint)
+
+    args, config, sr_model, stu_model, state = _tiny_setup(
+        sr_share=False, tpg_share=False)
+    g = build_torch_tsrn_tl(srb_nums=2, hidden_units=8)
+    r = build_torch_crnn()
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    torch.save({"state_dict_G": g.state_dict(), "iters": 7},
+               str(d / "model_best_0.pth"))
+    torch.save(r.state_dict(), str(d / "recognizer_best_0.pth"))
+
+    assert is_torch_checkpoint(str(d))
+    assert not is_torch_checkpoint(str(tmp_path))  # no model_best_0.pth
+    restored = restore_reference_checkpoint(
+        str(d), state, "tsrn_tl_cascade", srb_nums=2)
+
+    g_np = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    want_sr = import_tsrn(g_np, srb_nums=2)
+    want_stu = import_crnn({k: v.detach().numpy()
+                            for k, v in r.state_dict().items()})
+    _assert_tree_equal(restored.sr_params[0], want_sr["params"], "sr params")
+    _assert_tree_equal(restored.sr_stats[0], want_sr["batch_stats"], "sr stats")
+    _assert_tree_equal(restored.stu_params[0], want_stu["params"], "stu params")
+    _assert_tree_equal(restored.sr_params[1], state.sr_params[1], "stage1 kept")
+    _assert_tree_equal(restored.stu_params[1], state.stu_params[1], "stu1 kept")
+    _assert_tree_equal(restored.teacher_params, state.teacher_params, "teacher")
+    _assert_tree_equal(restored.opt_state, state.opt_state, "adam untouched")
+
+    # single-file form: one save_dict covers stage 0 only
+    f = tmp_path / "model.pth"
+    torch.save({"state_dict_G": g.state_dict()}, str(f))
+    assert is_torch_checkpoint(str(f))
+    restored2 = restore_reference_checkpoint(
+        str(f), state, "tsrn_tl_cascade", srb_nums=2)
+    _assert_tree_equal(restored2.sr_params[0], want_sr["params"], "file sr")
+    _assert_tree_equal(restored2.stu_params[0], state.stu_params[0], "file stu kept")

@@ -605,3 +605,109 @@ def import_sem_tsrn(sd: Dict[str, np.ndarray], srb_nums: int = 5) -> Dict[str, A
     if "stn_head.stn_fc2.weight" in sd:
         _import_stn_head(params, stats, sd, "stn_head", ("stn_head",))
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Arch-keyed dispatch + reference-format checkpoint restore.
+#
+# The reference resumes from its own .pth checkpoints — a dict with
+# 'state_dict_G' (interfaces/base.py:402-424), saved per cascade stage as
+# ckpt/<vis_dir>/model_best_<i>.pth plus raw recognizer_best_<i>.pth
+# state_dicts (base.py:546-575).  These entry points let OUR trainer resume
+# from those exact files, so published TPGSR checkpoints drop in unchanged.
+
+
+def import_sr_checkpoint(
+    arch: str, sd: Dict[str, np.ndarray], srb_nums: int = 5, scale_factor: int = 2
+) -> Dict[str, Any]:
+    """Import one SR-generator state_dict for a registry arch name.
+
+    TL/STN/mask sub-structures are detected from key presence inside each
+    importer, so one entry covers both the plain and _tl variants.
+    """
+    a = arch.lower()
+    if a.startswith("tsrn"):  # tsrn / _tl / _wmask / _cascade / _c2f
+        return import_tsrn(sd, srb_nums=srb_nums)
+    if a == "sem_tsrn":
+        return import_sem_tsrn(sd, srb_nums=srb_nums)
+    if a.startswith("srcnn"):
+        return import_srcnn(sd)
+    if a.startswith("srres"):
+        return import_srresnet(sd)
+    if a.startswith("rdn"):
+        return import_rdn(sd)
+    if a.startswith("vdsr"):
+        return import_vdsr(sd)
+    if a == "edsr":
+        return import_edsr(sd)
+    if a == "lapsrn":
+        return import_lapsrn(sd, scale_factor=scale_factor)
+    if a.startswith("esrgan"):
+        return import_rrdbnet(sd)
+    raise ValueError(f"no torch importer for arch {arch!r}")
+
+
+def _load_reference_pth(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference save_dict .pth and return its 'state_dict_G'."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict_G" in obj:
+        obj = obj["state_dict_G"]
+    out = {}
+    for k, v in obj.items():
+        k = k.replace("module.", "")
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """True when ``path`` is a reference-format torch checkpoint: a
+    .pth/.pt/.pth.tar file, or a directory holding model_best_<i>.pth
+    (the reference's per-stage best saves, base.py:405-412)."""
+    if os.path.isdir(path):
+        return os.path.exists(os.path.join(path, "model_best_0.pth"))
+    return path.endswith((".pth", ".pt", ".tar"))
+
+
+def restore_reference_checkpoint(path: str, state, arch: str,
+                                 srb_nums: int = 5, scale_factor: int = 2):
+    """Restore a reference torch checkpoint (file or ckpt dir) into a
+    TrainState — the TPU-side twin of base.py:402-424's resume.
+
+    File: stage 0 only (every stage shares it when the reference trained
+    with --sr_share; stages beyond 0 keep their current init, matching the
+    reference's single-model load).  Directory: model_best_<i>.pth per SR
+    stage and recognizer_best_<i>.pth per student (raw CRNN state_dicts).
+    The Adam state is NOT restored (the reference never saves it).
+    """
+    n_sr = len(state.sr_params)
+    sr_trees = [None] * n_sr
+    stu_trees = [None] * len(state.stu_params)
+    if os.path.isdir(path):
+        for i in range(n_sr):
+            f = os.path.join(path, f"model_best_{i}.pth")
+            if os.path.exists(f):
+                sr_trees[i] = import_sr_checkpoint(
+                    arch, _load_reference_pth(f), srb_nums, scale_factor)
+        for i in range(len(stu_trees)):
+            f = os.path.join(path, f"recognizer_best_{i}.pth")
+            if os.path.exists(f):
+                stu_trees[i] = import_crnn(load_torch_state_dict(f))
+    else:
+        sr_trees[0] = import_sr_checkpoint(
+            arch, _load_reference_pth(path), srb_nums, scale_factor)
+
+    def merge(params, stats, trees):
+        ps, ss = list(params), list(stats)
+        for i, tree in enumerate(trees):
+            if tree is not None:
+                ps[i] = tree["params"]
+                ss[i] = tree.get("batch_stats", ss[i]) or ss[i]
+        return tuple(ps), tuple(ss)
+
+    sr_params, sr_stats = merge(state.sr_params, state.sr_stats, sr_trees)
+    stu_params, stu_stats = merge(state.stu_params, state.stu_stats, stu_trees)
+    return state.replace(sr_params=sr_params, sr_stats=sr_stats,
+                         stu_params=stu_params, stu_stats=stu_stats)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from tpgsr_tpu import losses as L
 from tpgsr_tpu.models.registry import ABLATION_SET, TL_SIMPLE, ArchSpec
 from tpgsr_tpu.ops.ctc import ctc_loss
+from tpgsr_tpu.ops import tiling
 from tpgsr_tpu.ops.image import calculate_psnr, ssim
 from tpgsr_tpu.ops.resize import interpolate_bicubic
 from tpgsr_tpu.train.priors import (
@@ -360,4 +361,33 @@ def make_eval_step(
                 outs[f"logits_stage{i}"] = recognize(state, s)
         return sr, outs
 
-    return jax.jit(eval_step)
+    # Large eval batches (YAML default TRAIN.batch_size=512) run per-tile:
+    # XLA's batch-in-lanes conv layouts make the flat large batch ~1.8x
+    # slower per image (ops/tiling.py docstring; measured 6.8k -> 11.0k
+    # img/s at batch 512).  Outputs are per-sample, so results are
+    # identical (tests/test_train.py::test_eval_step_tiled_equivalence).
+    # eval_tile is PER-DEVICE: under a data mesh the global batch is already
+    # split n_devices ways, so the lax.map tile must scale with the mesh or
+    # an 8-chip eval would serialize tiles that each underfill the chips.
+    tile = int(t.get("eval_tile", tiling.DEFAULT_TILE) or 0) * jax.device_count()
+
+    def tiled_eval_step(state: TrainState, batch):
+        arrays = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        b = arrays["hr"].shape[0]
+        if not tile or b <= tile or b % tile:
+            return eval_step(state, arrays)
+        shaped = {k: v.reshape(b // tile, tile, *v.shape[1:])
+                  for k, v in arrays.items()}
+        sr, outs = jax.lax.map(lambda tb: eval_step(state, tb), shaped)
+
+        def merge(key, x):
+            # CRNN logits are time-major [T, B, C] (torch CRNN convention);
+            # everything else is batch-leading per-sample
+            if key.startswith("logits_") and rec_kind == "CRNN":
+                g, tt, n = x.shape[0], x.shape[1], x.shape[2]
+                return jnp.moveaxis(x, 0, 1).reshape(tt, g * n, *x.shape[3:])
+            return x.reshape(b, *x.shape[2:])
+
+        return merge("", sr), {k: merge(k, v) for k, v in outs.items()}
+
+    return jax.jit(tiled_eval_step)

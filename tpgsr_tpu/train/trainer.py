@@ -315,7 +315,20 @@ class TextSR:
             eval_only = bool(
                 self.args.get("go_test") or self.args.get("test") or self.args.get("demo")
             )
-            state = ckpt.restore_checkpoint(resume, state, prefer_best=eval_only)
+            from tpgsr_tpu.interop.torch_import import is_torch_checkpoint
+
+            if is_torch_checkpoint(resume):
+                # the reference's own .pth checkpoints (file or ckpt dir;
+                # base.py:402-424) — published TPGSR weights drop in directly
+                from tpgsr_tpu.interop.torch_import import restore_reference_checkpoint
+
+                state = restore_reference_checkpoint(
+                    resume, state, self.arch,
+                    srb_nums=int(self.args.get("srb", 5)),
+                    scale_factor=self.scale_factor,
+                )
+            else:
+                state = ckpt.restore_checkpoint(resume, state, prefer_best=eval_only)
         if os.environ.get("TPGSR_COST_REPORT"):
             # ptflops-style MAC/param print at init (base.py:372-381,638-643);
             # gated because the extra compile is slow on a tunneled TPU
@@ -501,6 +514,9 @@ class TextSR:
         # 1,251 of 2,858 img/s end-to-end was dispatch-bound).  Chunks are
         # cut so val/save still fire on their exact global iterations.
         chain = max(1, int(t.get("dispatch_chain", 1)))
+        if self.args.get("random_reso"):
+            # variable-resolution batches can't be stacked into [k,B,...]
+            chain = 1
         if chain > 1:
             chain_step = self._build_chain_step()
             for epoch in range(start_epoch, start_epoch + int(t.epochs)):
