@@ -389,11 +389,32 @@ def test_reference_pth_restore(tmp_path):
     _assert_tree_equal(restored.teacher_params, state.teacher_params, "teacher")
     _assert_tree_equal(restored.opt_state, state.opt_state, "adam untouched")
 
-    # single-file form: one save_dict covers stage 0 only
-    f = tmp_path / "model.pth"
+    # single-file form: the one save_dict loads into EVERY SR stage (the
+    # reference's generator_init(i) loads the same resume file per stage,
+    # super_resolution.py:87-94 + base.py:412) and sibling
+    # recognizer_best_<i>.pth files restore the students
+    # (super_resolution.py:140-163 probes dirname(resume))
+    fd = tmp_path / "filedir"
+    fd.mkdir()
+    f = fd / "model_best_0.pth"
     torch.save({"state_dict_G": g.state_dict()}, str(f))
+    torch.save(r.state_dict(), str(fd / "recognizer_best_0.pth"))
     assert is_torch_checkpoint(str(f))
     restored2 = restore_reference_checkpoint(
         str(f), state, "tsrn_tl_cascade", srb_nums=2)
-    _assert_tree_equal(restored2.sr_params[0], want_sr["params"], "file sr")
-    _assert_tree_equal(restored2.stu_params[0], state.stu_params[0], "file stu kept")
+    _assert_tree_equal(restored2.sr_params[0], want_sr["params"], "file sr0")
+    _assert_tree_equal(restored2.sr_params[1], want_sr["params"], "file sr1 broadcast")
+    _assert_tree_equal(restored2.sr_stats[1], want_sr["batch_stats"], "file stats1")
+    _assert_tree_equal(restored2.stu_params[0], want_stu["params"], "file stu0 sibling")
+    # stage 1 has no recognizer_best_1.pth; the recognizer_best.pth
+    # fallback (tsrn_tl/_wmask save name, super_resolution.py:141-146)
+    # covers it when present, else the init is kept
+    _assert_tree_equal(restored2.stu_params[1], state.stu_params[1], "file stu1 kept")
+    r2 = build_torch_crnn()
+    torch.save(r2.state_dict(), str(fd / "recognizer_best.pth"))
+    restored3 = restore_reference_checkpoint(
+        str(f), state, "tsrn_tl_cascade", srb_nums=2)
+    want_stu2 = import_crnn({k: v.detach().numpy()
+                             for k, v in r2.state_dict().items()})
+    _assert_tree_equal(restored3.stu_params[0], want_stu["params"], "stu0 prefers _0")
+    _assert_tree_equal(restored3.stu_params[1], want_stu2["params"], "stu1 fallback")

@@ -676,28 +676,42 @@ def restore_reference_checkpoint(path: str, state, arch: str,
     """Restore a reference torch checkpoint (file or ckpt dir) into a
     TrainState — the TPU-side twin of base.py:402-424's resume.
 
-    File: stage 0 only (every stage shares it when the reference trained
-    with --sr_share; stages beyond 0 keep their current init, matching the
-    reference's single-model load).  Directory: model_best_<i>.pth per SR
-    stage and recognizer_best_<i>.pth per student (raw CRNN state_dicts).
+    File: the single ``state_dict_G`` loads into EVERY SR stage — the
+    reference calls ``generator_init(i)`` per stage and each call loads the
+    same ``self.resume`` file (super_resolution.py:87-94 + base.py:412) —
+    and sibling ``recognizer_best_<i>.pth`` / ``recognizer_best.pth`` files
+    next to the file restore the student TPGs (super_resolution.py:140-163
+    probes ``dirname(resume)`` for them).  Directory: model_best_<i>.pth per
+    SR stage and recognizer_best_<i>.pth per student, read from INSIDE the
+    dir (where save_checkpoint put them, base.py:546-575; the reference's
+    own dir-form probe looks one level up and so silently finds nothing).
     The Adam state is NOT restored (the reference never saves it).
     """
     n_sr = len(state.sr_params)
     sr_trees = [None] * n_sr
     stu_trees = [None] * len(state.stu_params)
+
+    def _probe_students(d: str):
+        for i in range(len(stu_trees)):
+            for name in (f"recognizer_best_{i}.pth", "recognizer_best.pth"):
+                f = os.path.join(d, name)
+                if os.path.exists(f):
+                    stu_trees[i] = import_crnn(load_torch_state_dict(f))
+                    break
+
     if os.path.isdir(path):
         for i in range(n_sr):
             f = os.path.join(path, f"model_best_{i}.pth")
             if os.path.exists(f):
                 sr_trees[i] = import_sr_checkpoint(
                     arch, _load_reference_pth(f), srb_nums, scale_factor)
-        for i in range(len(stu_trees)):
-            f = os.path.join(path, f"recognizer_best_{i}.pth")
-            if os.path.exists(f):
-                stu_trees[i] = import_crnn(load_torch_state_dict(f))
+        _probe_students(path)
     else:
-        sr_trees[0] = import_sr_checkpoint(
+        tree = import_sr_checkpoint(
             arch, _load_reference_pth(path), srb_nums, scale_factor)
+        for i in range(n_sr):
+            sr_trees[i] = tree
+        _probe_students(os.path.dirname(os.path.abspath(path)))
 
     def merge(params, stats, trees):
         ps, ss = list(params), list(stats)
