@@ -74,6 +74,28 @@ def test_collate_wtl_amask(tz_root):
     assert batch["ctc_lengths"][0] == 5
 
 
+def test_collate_transform_cache_value_identical(tz_root):
+    """cache_transformed stores each image's resize+convert+mask output on
+    the (RAM-cached) PIL object; batches must be BYTE-equal to a cache-off
+    run, across repeat epochs, both wire formats, and mixed mask configs."""
+    ds = TextZoomDataset(tz_root, cache_images=True)
+    items = [ds[i] for i in range(6)]
+    for wire in ("float32", "uint8"):
+        for mask in (True, False):
+            on = CollateConfig(mask=mask, wire_dtype=wire, cache_transformed=True)
+            off = CollateConfig(mask=mask, wire_dtype=wire, cache_transformed=False)
+            first = collate_real_wtl_amask(items, on)  # populates the cache
+            second = collate_real_wtl_amask(items, on)  # epoch-2: pure hits
+            want = collate_real_wtl_amask(items, off)
+            for k in ("hr", "lr", "label_vecs", "ctc_labels", "weighted_tics"):
+                np.testing.assert_array_equal(first[k], want[k], err_msg=k)
+                np.testing.assert_array_equal(second[k], want[k], err_msg=k)
+            assert second["hr"].flags.writeable  # np.stack copies: safe out
+    # cached entries are frozen against accidental in-place mutation
+    store = getattr(items[0][0], "_tpgsr_xform", {})
+    assert store and all(not a.flags.writeable for a in store.values())
+
+
 def test_loader_epoch(tz_root):
     ds = TextZoomDataset(tz_root)
     cfg = CollateConfig(mask=True)

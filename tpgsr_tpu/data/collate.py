@@ -45,22 +45,52 @@ class CollateConfig:
     # host->device transfer; the jitted steps divide by 255 on device, which
     # is bit-identical (PIL decodes to uint8 either way).
     wire_dtype: str = "float32"
+    # Cache each image's TRANSFORMED array (resize+convert+mask) on the PIL
+    # Image object itself.  resize_normalize is a deterministic function of
+    # the image, and with the decode RAM cache on (TRAIN.cache_images) the
+    # same Image objects recur every epoch — epochs 2+ then skip all per-
+    # image work and the collate reduces to np.stack + label tensors (the
+    # measured host bottleneck of end-to-end training on a 1-core host,
+    # docs/perf_notes.md).  Value-identical by construction; a cache-off
+    # run is byte-equal (tested).  With the decode cache off the Image
+    # objects are fresh each epoch and this is a per-batch no-op.
+    cache_transformed: bool = True
+
+
+def _xformed(img: Image.Image, size, mask: bool, u8: bool, cache: bool) -> np.ndarray:
+    if not cache:
+        return resize_normalize(img, size, mask, as_uint8=u8)
+    key = (size, mask, u8)
+    store = getattr(img, "_tpgsr_xform", None)
+    if store is None:
+        store = {}
+        try:
+            img._tpgsr_xform = store
+        except AttributeError:  # exotic image types without __dict__
+            return resize_normalize(img, size, mask, as_uint8=u8)
+    arr = store.get(key)
+    if arr is None:
+        arr = resize_normalize(img, size, mask, as_uint8=u8)
+        arr.setflags(write=False)  # shared across epochs: freeze it
+        store[key] = arr
+    return arr
 
 
 def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     hrs, lrs, labels = [], [], []
     lr_size = (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale)
+    hr_size = (cfg.imgW, cfg.imgH)
     u8 = cfg.wire_dtype == "uint8" and not cfg.keep_ratio
     for item in batch:
         img_hr, img_lr, label = item[0], item[1], item[2]
         if cfg.keep_ratio:
             from tpgsr_tpu.data.transforms import resize_normalize_keep_ratio
 
-            hr_arr, _ = resize_normalize_keep_ratio(img_hr, (cfg.imgW, cfg.imgH), cfg.mask)
+            hr_arr, _ = resize_normalize_keep_ratio(img_hr, hr_size, cfg.mask)
             lr_arr, _ = resize_normalize_keep_ratio(img_lr, lr_size, cfg.mask)
         else:
-            hr_arr = resize_normalize(img_hr, (cfg.imgW, cfg.imgH), cfg.mask, as_uint8=u8)
-            lr_arr = resize_normalize(img_lr, lr_size, cfg.mask, as_uint8=u8)
+            hr_arr = _xformed(img_hr, hr_size, cfg.mask, u8, cfg.cache_transformed)
+            lr_arr = _xformed(img_lr, lr_size, cfg.mask, u8, cfg.cache_transformed)
         hrs.append(hr_arr)
         lrs.append(lr_arr)
         labels.append(label)
