@@ -96,6 +96,31 @@ def test_collate_transform_cache_value_identical(tz_root):
     assert store and all(not a.flags.writeable for a in store.values())
 
 
+def test_device_mask_wire_bit_identical(tz_root):
+    """device_mask ships 3-channel RGB; ops.image.append_contour_mask_u8 on
+    device must reproduce the host collate's 4-channel uint8 wire BYTE-equal
+    (PIL 'L' integer formula + exact integer mean-threshold)."""
+    from tpgsr_tpu.ops.image import append_contour_mask_u8
+
+    ds = TextZoomDataset(tz_root, cache_images=False)
+    items = [ds[i] for i in range(6)]
+    host = CollateConfig(mask=True, wire_dtype="uint8", device_mask=False)
+    dev = CollateConfig(mask=True, wire_dtype="uint8", device_mask=True)
+    want = collate_real_wtl_amask(items, host)
+    got = collate_real_wtl_amask(items, dev)
+    for k in ("hr", "lr"):
+        assert got[k].shape[-1] == 3 and got[k].dtype == np.uint8
+        on_dev = np.asarray(append_contour_mask_u8(got[k]))
+        np.testing.assert_array_equal(on_dev, want[k], err_msg=k)
+    # float wire / mask-off: device_mask must be inert
+    f_host = CollateConfig(mask=True, wire_dtype="float32", device_mask=False)
+    f_dev = CollateConfig(mask=True, wire_dtype="float32", device_mask=True)
+    np.testing.assert_array_equal(
+        collate_real_wtl_amask(items, f_dev)["hr"],
+        collate_real_wtl_amask(items, f_host)["hr"],
+    )
+
+
 def test_loader_epoch(tz_root):
     ds = TextZoomDataset(tz_root)
     cfg = CollateConfig(mask=True)

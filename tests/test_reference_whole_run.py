@@ -238,14 +238,23 @@ def _ref_config(tmp, train_dir, val_dirs, crnn_path):
     return cfg
 
 
-def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume):
+def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
+                  arg_over=None, epochs=EPOCHS, val_over=None):
+    """Drive the reference orchestrator.  ``arg_over`` extends/overrides the
+    CLI-args namespace (e.g. stu_iter=2, tpg_share=True for the multi-stage
+    cascade fixture in test_reference_whole_run_multistage.py); ``val_over``
+    extends cfg.TRAIN.VAL (e.g. rec_pretrained for --test_model=ASTER)."""
     _install_profiler_stubs()
     install_lmdb_shim()
     sup = load_reference_module("interfaces.super_resolution")
     base = load_reference_module("interfaces.base")
 
     cfg = _ref_config(tmp, train_dir, val_dirs, crnn_path)
-    args = _ref_args(resume=sr_resume)
+    cfg.TRAIN.epochs = epochs
+    cfg.TRAIN.VAL.valInterval = epochs  # fires exactly once, at the end
+    for k, v in (val_over or {}).items():
+        cfg.TRAIN.VAL[k] = v
+    args = _ref_args(resume=sr_resume, **(arg_over or {}))
 
     recorder = _Recorder()
     losses = []
@@ -263,8 +272,15 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume):
 
     def spy_save(self, netG_list, epoch, iters, best_acc_dict, best_model_info,
                  is_best, converge_list, recognizer=None):
-        saved.append({"iters": iters, "is_best": is_best,
-                      "best_acc": dict(best_acc_dict)})
+        saved.append({
+            "iters": iters, "is_best": is_best,
+            "best_acc": dict(best_acc_dict),
+            # per-stage surface (base.py:553-585): model_best_<i> per SR
+            # stage, recognizer_best_<i> per student entry
+            "n_models": len(netG_list),
+            "n_recognizers": (len(recognizer) if isinstance(recognizer, list)
+                              else (0 if recognizer is None else 1)),
+        })
 
     try:
         sup.SummaryWriter = lambda d: recorder
@@ -286,13 +302,18 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume):
     evals = {}
     for split in [os.path.basename(d) for d in val_dirs]:
         evals[split] = {
-            k: recorder.get(f"eval/{k}_{split}").get(EPOCHS)
+            k: recorder.get(f"eval/{k}_{split}").get(epochs)
             for k in ("accuracy", "psnr_avg", "ssim_avg")
         }
     return {"losses": losses, "scalars": recorder, "evals": evals, "saved": saved}
 
 
-def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd):
+def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd, arg_over=None,
+             epochs=EPOCHS, real_save=False, val_over=None):
+    """Drive our TextSR with the same data/weights.  ``arg_over``/``val_over``
+    mirror run_reference's; ``real_save`` additionally writes the checkpoint
+    files (for per-stage save-surface assertions) while still recording the
+    spy."""
     from tpgsr_tpu.config import default_args, load_config
     from tpgsr_tpu.interop import torch_import as ti
     from tpgsr_tpu.parallel import shard_params
@@ -304,22 +325,27 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd):
     t = config.TRAIN
     t.train_data_dir = [train_dir]
     t.batch_size = N_TRAIN
-    t.epochs = EPOCHS
+    t.epochs = epochs
     t.workers = 0
     t.n_devices = 1
     t.compute_dtype = "fp32"
+    t.dispatch_chain = 1  # per-step dispatch: the spy hooks every iteration
     t.ckpt_dir = os.path.join(tmp, "ckpt_ours")
     t.saveInterval = 100000
     t.displayInterval = 5
     t.VAL.val_data_dir = list(val_dirs)
-    t.VAL.valInterval = EPOCHS
+    t.VAL.valInterval = epochs
     t.VAL.crnn_pretrained = crnn_path
+    for k, v in (val_over or {}).items():
+        t.VAL[k] = v
 
-    args = default_args(
+    kw = dict(
         arch="tsrn_tl_cascade", mask=True, gradient=True, STN=True,
         sr_share=True, use_distill=True, use_label=True, stu_iter=1,
         hd_u=HD_U, srb=5, batch_size=N_TRAIN, vis_dir="whole_run_ours",
     )
+    kw.update(arg_over or {})
+    args = default_args(**kw)
 
     work = os.path.join(tmp, "ours_run")
     os.makedirs(work, exist_ok=True)
@@ -330,6 +356,8 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd):
     def spy_save(ckpt_dir, state, info, is_best, converge_list=None):
         saved.append({"iters": info["iters"], "is_best": is_best,
                       "best_acc": dict(info["best_history_res"])})
+        if real_save:
+            old_save(ckpt_dir, state, info, is_best, converge_list)
 
     try:
         ckpt_mod.save_checkpoint = spy_save
@@ -341,8 +369,21 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd):
             ts = TextSR(config, args)
             state = ts.init_state()
             v = ti.import_tsrn(sr_sd, srb_nums=5)
+            # the reference loads the SAME resume file into every cascade
+            # stage (generator_init(i), super_resolution.py:87-94); copy the
+            # tree per stage so donated buffers never alias
+            import jax
+
+            n_sr = len(state.sr_params)
             state = state.replace(
-                sr_params=(v["params"],), sr_stats=(v["batch_stats"],)
+                sr_params=tuple(
+                    jax.tree_util.tree_map(np.array, v["params"])
+                    for _ in range(n_sr)
+                ),
+                sr_stats=tuple(
+                    jax.tree_util.tree_map(np.array, v["batch_stats"])
+                    for _ in range(n_sr)
+                ),
             )
             # fresh Adam state over the imported params (zeros, like the
             # reference's fresh torch Adam)
@@ -373,7 +414,7 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd):
     evals = {}
     for split in [os.path.basename(d) for d in val_dirs]:
         evals[split] = {
-            k: scalars.get((f"eval/{k}_{split}", EPOCHS))
+            k: scalars.get((f"eval/{k}_{split}", epochs))
             for k in ("accuracy", "psnr_avg", "ssim_avg")
         }
     return {"losses": losses, "scalars": scalars, "evals": evals, "saved": saved}

@@ -100,6 +100,45 @@ def test_teacher_params_frozen():
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+def test_train_step_device_mask_wire_equal():
+    """The 3-channel device_mask uint8 wire must produce the SAME loss as
+    the 4-channel host-mask uint8 wire: the on-device contour mask is
+    byte-equal (ops.image.append_contour_mask_u8), so the tensors entering
+    the model are bit-identical."""
+    args, config, sr_model, stu_model, state = _tiny_setup()
+    spec = ARCHS["tsrn_tl_cascade"]
+    step = make_train_step("tsrn_tl_cascade", spec, sr_model, stu_model,
+                           args, config, donate=False)
+
+    from PIL import Image
+
+    from tpgsr_tpu.data.transforms import resize_normalize
+
+    rng = np.random.default_rng(3)
+    def wire(mask_on_host):
+        hrs, lrs = [], []
+        for i in range(B):
+            img = Image.fromarray(
+                rng.integers(0, 256, (H * 2, W * 2, 3), np.uint8), "RGB")
+            hrs.append(resize_normalize(img, (W * 2, H * 2), mask_on_host,
+                                        as_uint8=True))
+            lrs.append(resize_normalize(img.resize((W, H), Image.BICUBIC),
+                                        (W, H), mask_on_host, as_uint8=True))
+        b = _batch()
+        b["hr"], b["lr"] = np.stack(hrs), np.stack(lrs)
+        return b
+
+    rng = np.random.default_rng(3)
+    b4 = wire(True)
+    rng = np.random.default_rng(3)
+    b3 = wire(False)
+    assert b3["hr"].shape[-1] == 3 and b4["hr"].shape[-1] == 4
+    _, m4 = step(state, b4)
+    _, m3 = step(state, b3)
+    np.testing.assert_array_equal(
+        np.asarray(m3["loss_total"]), np.asarray(m4["loss_total"]))
+
+
 def test_plain_arch_train_step():
     args = default_args(arch="tsrn", STN=False, mask=True, gradient=True, srb=2, hd_u=8)
     config = load_config()

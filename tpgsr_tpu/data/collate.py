@@ -55,6 +55,12 @@ class CollateConfig:
     # run is byte-equal (tested).  With the decode cache off the Image
     # objects are fresh each epoch and this is a per-batch no-op.
     cache_transformed: bool = True
+    # Ship hr/lr as 3-channel RGB and let the jitted steps append the 4th
+    # contour-mask channel on device (ops.image.append_contour_mask_u8 —
+    # bit-identical integer math, tested byte-equal).  Cuts the transfer-
+    # bound train wire by ~20% on tunneled TPUs.  Only takes effect on the
+    # uint8 wire with mask on; the trainer enables it.
+    device_mask: bool = False
 
 
 def _xformed(img: Image.Image, size, mask: bool, u8: bool, cache: bool) -> np.ndarray:
@@ -81,6 +87,9 @@ def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, Lis
     lr_size = (cfg.imgW // cfg.down_sample_scale, cfg.imgH // cfg.down_sample_scale)
     hr_size = (cfg.imgW, cfg.imgH)
     u8 = cfg.wire_dtype == "uint8" and not cfg.keep_ratio
+    # device_mask: the steps append the mask channel on device (bit-exact),
+    # so the wire ships plain RGB
+    want_mask = cfg.mask and not (u8 and cfg.device_mask)
     for item in batch:
         img_hr, img_lr, label = item[0], item[1], item[2]
         if cfg.keep_ratio:
@@ -89,8 +98,8 @@ def _stack_pairs(batch, cfg: CollateConfig) -> Tuple[np.ndarray, np.ndarray, Lis
             hr_arr, _ = resize_normalize_keep_ratio(img_hr, hr_size, cfg.mask)
             lr_arr, _ = resize_normalize_keep_ratio(img_lr, lr_size, cfg.mask)
         else:
-            hr_arr = _xformed(img_hr, hr_size, cfg.mask, u8, cfg.cache_transformed)
-            lr_arr = _xformed(img_lr, lr_size, cfg.mask, u8, cfg.cache_transformed)
+            hr_arr = _xformed(img_hr, hr_size, want_mask, u8, cfg.cache_transformed)
+            lr_arr = _xformed(img_lr, lr_size, want_mask, u8, cfg.cache_transformed)
         hrs.append(hr_arr)
         lrs.append(lr_arr)
         labels.append(label)

@@ -21,6 +21,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pil_gray_u8(rgb_u8: jax.Array) -> jax.Array:
+    """PIL ``Image.convert('L')`` bit-exactly, on device: libImaging's
+    integer formula ``L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16``
+    (verified element-equal to PIL over random uint8 images).
+
+    rgb_u8: [..., 3] uint8 -> [...] int32 grayscale in [0, 255].
+    """
+    r = rgb_u8[..., 0].astype(jnp.int32)
+    g = rgb_u8[..., 1].astype(jnp.int32)
+    b = rgb_u8[..., 2].astype(jnp.int32)
+    return (r * 19595 + g * 38470 + b * 7471 + 32768) >> 16
+
+
+def append_contour_mask_u8(img: jax.Array) -> jax.Array:
+    """Append the reference's 4th contour-mask channel ON DEVICE.
+
+    Bit-identical to the host collate's mask (dataset/dataset.py:644-652 via
+    data/transforms.resize_normalize(as_uint8=True, mask=True)): grayscale
+    (PIL 'L', exact integer math) thresholded at its own mean — computed as
+    ``gray * (H*W) > sum(gray)`` so the comparison is EXACT integer
+    arithmetic (a float mean could flip pixels where gray == mean).
+    Rationale: the mask is a deterministic function of the RGB wire, so
+    shipping it costs 25% extra host->device bandwidth for nothing — on a
+    tunneled TPU the chunked train wire is transfer-bound (docs/
+    perf_notes.md).
+
+    img: [..., H, W, 3] uint8 -> [..., H, W, 4] uint8 (mask in {0, 255};
+    the steps' /255 normalization then yields the {0, 1} float mask).
+    """
+    gray = pil_gray_u8(img)
+    hw = gray.shape[-1] * gray.shape[-2]
+    total = jnp.sum(gray, axis=(-1, -2), keepdims=True)
+    m = jnp.where(gray * hw > total, 0, 255).astype(jnp.uint8)
+    return jnp.concatenate([img, m[..., None]], axis=-1)
+
+
 def rgb_to_gray(x: jax.Array) -> jax.Array:
     """NHWC RGB -> NHW1 grayscale with BT.601 weights (base.py:825-828)."""
     r, g, b = x[..., 0:1], x[..., 1:2], x[..., 2:3]

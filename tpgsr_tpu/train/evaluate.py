@@ -77,7 +77,10 @@ def evaluate(
     def to_device(item):
         bi, batch = item
         labels = batch["labels"]
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        # the eval step reads only hr/lr; the WTL collates also emit the
+        # (eval-unused) label_vecs prior tensor — don't ship it
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and k in ("hr", "lr")}
         b = len(labels)
         target = max(full_batch[0], -(-b // mult) * mult)
         full_batch[0] = target

@@ -34,7 +34,7 @@ from tpgsr_tpu import losses as L
 from tpgsr_tpu.models.registry import ABLATION_SET, TL_SIMPLE, ArchSpec
 from tpgsr_tpu.ops.ctc import ctc_loss
 from tpgsr_tpu.ops import tiling
-from tpgsr_tpu.ops.image import calculate_psnr, ssim
+from tpgsr_tpu.ops.image import append_contour_mask_u8, calculate_psnr, ssim
 from tpgsr_tpu.ops.resize import interpolate_bicubic
 from tpgsr_tpu.train.priors import (
     logits_to_prior,
@@ -69,6 +69,33 @@ def _apply(model, params, stats, args_, train: bool):
 def _crnn_width(cfg_width: int) -> int:
     # interfaces/base.py:808 — 100 when TRAIN.width is 128, else TRAIN.width
     return 100 if cfg_width == 128 else cfg_width
+
+
+def _ensure_mask(arr, want: bool):
+    """Re-attach the 4th contour-mask channel when the wire shipped plain
+    RGB (CollateConfig.device_mask): a deterministic function of the RGB, so
+    computing it here (bit-identical integer math, ops.image) saves ~20% of
+    the transfer-bound host->device wire.  No-op for 4-channel or float
+    wires.  Shape/dtype checks are static under jit."""
+    if want and arr.dtype == jnp.uint8 and arr.shape[-1] == 3:
+        return append_contour_mask_u8(arr)
+    return arr
+
+
+def train_wire_keys(arch: str) -> frozenset:
+    """Array keys the jitted train step actually reads from the batch.
+
+    The device wire ships ONLY these: the collates also emit host/eval-side
+    tensors (``label_vecs`` — the reference's text_label, which our step
+    replaces with the precomputed ctc_labels/ctc_lengths) that would
+    otherwise cost ~16% of the transfer-bound wire for nothing."""
+    if arch in ABLATION_SET or arch in TL_SIMPLE:
+        return frozenset({"hr", "lr", "ctc_labels", "ctc_lengths", "weighted_tics"})
+    if arch == "tsrn_c2f":
+        return frozenset({"hr", "lr", "coarse"})
+    if arch == "sem_tsrn":
+        return frozenset({"hr", "lr", "w2v"})
+    return frozenset({"hr", "lr"})
 
 
 def _as_image(arr, dtype):
@@ -111,6 +138,7 @@ def make_train_step(
 
     is_cascade = arch in ABLATION_SET
     is_tl_simple = arch in TL_SIMPLE
+    want_mask = bool(args.get("mask", False))
     # TRAIN.compute_dtype: 'bf16' runs the models in bfloat16 (params stay
     # fp32; layers cast weights to the activation dtype) with fp32 losses
     compute_dtype = (
@@ -121,8 +149,8 @@ def make_train_step(
         sr_params, stu_params = trainable["sr"], trainable["stu"]
         sr_stats = list(state.sr_stats)
         stu_stats = list(state.stu_stats)
-        hr = _as_image(batch["hr"], compute_dtype)
-        lr = _as_image(batch["lr"], compute_dtype)
+        hr = _as_image(_ensure_mask(batch["hr"], want_mask), compute_dtype)
+        lr = _as_image(_ensure_mask(batch["lr"], want_mask), compute_dtype)
         metrics: Dict[str, jax.Array] = {}
 
         if is_cascade or is_tl_simple:
@@ -312,9 +340,11 @@ def make_eval_step(
         )
         return logits
 
+    want_mask = bool(args.get("mask", False))
+
     def eval_step(state: TrainState, batch):
-        hr = _as_image(batch["hr"], jnp.float32)
-        lr = _as_image(batch["lr"], jnp.float32)
+        hr = _as_image(_ensure_mask(batch["hr"], want_mask), jnp.float32)
+        lr = _as_image(_ensure_mask(batch["lr"], want_mask), jnp.float32)
         outs: Dict[str, Any] = {}
         sr_list = []
         if is_tl:

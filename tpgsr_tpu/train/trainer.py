@@ -36,7 +36,7 @@ from tpgsr_tpu.train.state import TrainState, create_train_state
 from tpgsr_tpu.train.step import make_eval_step, make_train_step
 
 
-def _device_prefetch(loader, mesh, depth: int = 2):
+def _device_prefetch(loader, mesh, depth: int = 2, keys=None):
     """Iterate ``loader`` with batches already sharded onto the device.
 
     The prefetch_iter producer runs collate-output -> ``shard_batch``
@@ -54,13 +54,17 @@ def _device_prefetch(loader, mesh, depth: int = 2):
     from tpgsr_tpu.utils.prefetch import prefetch_iter
 
     def to_device(batch):
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        # ``keys``: ship only the arrays the jitted step reads
+        # (step.train_wire_keys) — the wire is transfer-bound on tunneled
+        # TPUs and the collates also emit eval/host-side tensors
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and (keys is None or k in keys)}
         return host_local_batch_to_global(mesh, arrays), batch
 
     yield from prefetch_iter(iter(loader), to_device, depth)
 
 
-def _chunked_device_prefetch(loader, mesh, sizes):
+def _chunked_device_prefetch(loader, mesh, sizes, keys=None):
     """Yield ``(k, stacked_arrays)`` chunks of k collated batches.
 
     Through a remote-TPU tunnel a one-step-per-dispatch loop is RTT-bound
@@ -92,8 +96,9 @@ def _chunked_device_prefetch(loader, mesh, sizes):
 
     def to_device(item):
         k, group = item
-        keys = [n for n, v in group[0].items() if isinstance(v, np.ndarray)]
-        stacked = {n: np.stack([g[n] for g in group]) for n in keys}
+        names = [n for n, v in group[0].items()
+                 if isinstance(v, np.ndarray) and (keys is None or n in keys)]
+        stacked = {n: np.stack([g[n] for g in group]) for n in names}
         if pc > 1:
             out = {}
             for n, v in stacked.items():
@@ -208,6 +213,10 @@ class TextSR:
             # compact uint8 wire format: 4x less host->device traffic, the
             # jitted steps normalize on device (bit-identical)
             wire_dtype="uint8" if bool(t.get("wire_uint8", True)) else "float32",
+            # ship 3-channel RGB; steps re-attach the contour-mask channel
+            # on device (bit-identical, ops.image) — another ~20% off the
+            # transfer-bound wire.  Inactive unless uint8 wire + mask.
+            device_mask=bool(t.get("device_mask", True)),
         )
         kind = _collate_kind(self.arch, train)
         if self.args.get("syn"):
@@ -517,6 +526,9 @@ class TextSR:
         if self.args.get("random_reso"):
             # variable-resolution batches can't be stacked into [k,B,...]
             chain = 1
+        from tpgsr_tpu.train.step import train_wire_keys
+
+        wire = train_wire_keys(self.arch)
         if chain > 1:
             chain_step = self._build_chain_step()
             for epoch in range(start_epoch, start_epoch + int(t.epochs)):
@@ -534,7 +546,8 @@ class TextSR:
                     sizes.append(k)
                     p += k
                 iters = pos
-                for k, stacked in _chunked_device_prefetch(train_loader, self.mesh, sizes):
+                for k, stacked in _chunked_device_prefetch(
+                        train_loader, self.mesh, sizes, keys=wire):
                     t0 = time.time()
                     state, mstk = chain_step(state, stacked)
                     m_np = {n: np.asarray(v) for n, v in mstk.items()}  # sync
@@ -552,7 +565,8 @@ class TextSR:
         else:
             for epoch in range(start_epoch, start_epoch + int(t.epochs)):
                 train_loader._epoch = epoch  # __iter__ advances to epoch+1
-                for j, (arrays, batch) in enumerate(_device_prefetch(train_loader, self.mesh)):
+                for j, (arrays, batch) in enumerate(
+                        _device_prefetch(train_loader, self.mesh, keys=wire)):
                     iters = spe * epoch + j + 1
                     t0 = time.time()
                     state, metrics = self._train_step(state, arrays)
