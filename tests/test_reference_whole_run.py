@@ -239,11 +239,13 @@ def _ref_config(tmp, train_dir, val_dirs, crnn_path):
 
 
 def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
-                  arg_over=None, epochs=EPOCHS, val_over=None):
+                  arg_over=None, epochs=EPOCHS, val_over=None, opt=None):
     """Drive the reference orchestrator.  ``arg_over`` extends/overrides the
     CLI-args namespace (e.g. stu_iter=2, tpg_share=True for the multi-stage
     cascade fixture in test_reference_whole_run_multistage.py); ``val_over``
-    extends cfg.TRAIN.VAL (e.g. rec_pretrained for --test_model=ASTER)."""
+    extends cfg.TRAIN.VAL (e.g. rec_pretrained for --test_model=ASTER);
+    ``opt`` is the TPG option dict handed to TextSR for --tpg=OPT
+    (main.py:60-76, test_reference_whole_run_opt.py)."""
     _install_profiler_stubs()
     install_lmdb_shim()
     sup = load_reference_module("interfaces.super_resolution")
@@ -291,7 +293,7 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
         os.makedirs(work, exist_ok=True)
         with _chdir(work):
             torch.manual_seed(1234)
-            t = sup.TextSR(cfg, args, None)
+            t = sup.TextSR(cfg, args, opt)
             t.train()
     finally:
         sup.SummaryWriter = old_writer
@@ -309,7 +311,7 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
 
 
 def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd, arg_over=None,
-             epochs=EPOCHS, real_save=False, val_over=None):
+             epochs=EPOCHS, real_save=False, val_over=None, opt=None):
     """Drive our TextSR with the same data/weights.  ``arg_over``/``val_over``
     mirror run_reference's; ``real_save`` additionally writes the checkpoint
     files (for per-stage save-surface assertions) while still recording the
@@ -366,7 +368,7 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd, arg_over=None,
 
         trainer_mod.ckpt.save_checkpoint = spy_save
         with _chdir(work):
-            ts = TextSR(config, args)
+            ts = TextSR(config, args, opt)
             state = ts.init_state()
             v = ti.import_tsrn(sr_sd, srb_nums=5)
             # the reference loads the SAME resume file into every cascade

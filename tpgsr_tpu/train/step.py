@@ -334,6 +334,11 @@ def make_eval_step(
             x = parse_crnn_data(img, 100)  # same bicubic 32x100 + gray
             l2r, _ = rec_model.apply(rec_vars, x, train=False)
             return l2r  # [B, 20, nclass]
+        if rec_model is not None:
+            # explicit CRNN eval recognizer: used when the teacher TPG is
+            # NOT the eval CRNN (--tpg=OPT; CRNN_init at
+            # super_resolution.py:109-116 is independent of the TPG choice)
+            return rec_model.apply(rec_vars, parse_crnn_data(img, cw), train=False)
         logits, _ = _apply(
             stu_model, state.teacher_params, state.teacher_stats,
             (parse_crnn_data(img, cw),), train=False,

@@ -186,7 +186,8 @@ class TextSR:
             from tpgsr_tpu.models.opt_tpg import OPTModel
 
             n = opt_TPG["num_class"] if opt_TPG else CTC_NUM_CLASSES
-            self.stu_model = OPTModel(nclass=n)
+            oc = int(opt_TPG.get("output_channel", 512)) if opt_TPG else 512
+            self.stu_model = OPTModel(nclass=n, output_channel=oc)
         else:
             self.stu_model = CRNN(nclass=CTC_NUM_CLASSES)
 
@@ -286,7 +287,18 @@ class TextSR:
 
     # ----------------------------------------------------------------- state
     def _teacher_variables(self):
-        """Load the pretrained CRNN teacher (interfaces/base.py:634-660)."""
+        """Load the pretrained TPG teacher: CRNN from TRAIN.VAL.crnn_pretrained
+        (interfaces/base.py:634-660) or, under ``--tpg=OPT``, the clova model
+        from ``opt_TPG.saved_model`` (base.py:681-718 TPG_init)."""
+        if self.args.get("tpg") == "OPT":
+            path = (self.opt_TPG or {}).get("saved_model", "")
+            if path and os.path.exists(path):
+                from tpgsr_tpu.interop.torch_import import import_opt, load_torch_state_dict
+
+                return import_opt(load_torch_state_dict(path))
+            rng = jax.random.PRNGKey(0)
+            x = np.zeros((1, 32, 100, 1), np.float32)
+            return self.stu_model.init(rng, x, train=False)
         path = self.config.TRAIN.VAL.get("crnn_pretrained", "")
         if path and os.path.exists(path):
             from tpgsr_tpu.interop.torch_import import import_crnn, load_torch_state_dict
@@ -403,6 +415,20 @@ class TextSR:
                 x = np.zeros((1, 32, 100, 1), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
             return ("MORAN", model, variables), decode_moran_ids
+        if self.args.get("tpg") == "OPT":
+            # teacher is the OPT model, so the CRNN eval recognizer must be
+            # its own module loaded from crnn_pretrained (CRNN_init,
+            # super_resolution.py:109-116 — independent of the TPG choice)
+            model = CRNN(nclass=CTC_NUM_CLASSES)
+            path = val.get("crnn_pretrained", "")
+            if path and os.path.exists(path):
+                from tpgsr_tpu.interop.torch_import import import_crnn, load_torch_state_dict
+
+                variables = import_crnn(load_torch_state_dict(path))
+            else:
+                x = np.zeros((1, 32, 100, 1), np.float32)
+                variables = model.init(jax.random.PRNGKey(7), x, train=False)
+            return ("CRNN", model, variables), None
         return None, None  # CRNN: teacher params inside the eval step
 
     def _build_steps(self, with_train: bool = True):
