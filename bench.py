@@ -62,7 +62,7 @@ def _chained(forward, n):
     def f(sv, tv, x):
         def body(c, _):
             out = forward(sv, tv, x + c * 1e-12)  # dependency defeats CSE
-            return jnp.mean(out), None
+            return jnp.mean(out).astype(jnp.float32), None  # bf16-safe carry
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
@@ -198,7 +198,18 @@ def _bench_train(batch: int = BATCH, n2: int = TRAIN_N2,
         return jax.jit(f)
 
     args_ = (state, batch)
-    f1, flops1 = _compiled_with_cost(chained(TRAIN_N1), args_)
+    f1, _ = _compiled_with_cost(chained(TRAIN_N1), args_)
+    # FLOPs from the RAW step, not the length-1 chain: the chain returns only
+    # mean(loss), so XLA dead-code-eliminates the whole backward + Adam
+    # update from that executable and its cost analysis reads ~198 GFLOP —
+    # forward-only.  The un-DCE'd step (state output live) reports 479
+    # GFLOP/batch in BOTH fp32 and bf16 (tools/reconcile_flops.py), matching
+    # docs/baseline_derivation.md's 478 hand count.  The TIMED chain is
+    # unaffected: each scan iteration's carry feeds the next, so the loop
+    # body keeps the full update.
+    flops1 = None
+    if b == BATCH:  # MFU only uses the batch-48 point; skip the extra compile at 512
+        _, flops1 = _compiled_with_cost(jax.jit(step), (state, batch))
     f2 = chained(n2)
     float(np.asarray(f1(*args_)))  # warm
     float(np.asarray(f2(*args_)))
@@ -365,6 +376,11 @@ def main() -> None:
                     "infer_mfu": round(infer_tf * 1e12 / PEAK_FLOPS, 4)} if infer_tf else {}),
                 **({"train_tflops": round(train_tf, 2),
                     "train_mfu": round(train_tf * 1e12 / PEAK_FLOPS, 4)} if train_tf else {}),
+                # MFU denominators are the bf16 MXU peak regardless of
+                # compute dtype (fp32 work runs on the same MXU via
+                # multi-pass); stated so fp32-config numbers read correctly.
+                **({"mfu_basis": "bf16 peak 197 TFLOP/s"}
+                   if (infer_tf or train_tf) else {}),
                 "train_dtype": _train_dtype(),
                 "baseline_basis": "derived V100 estimate (docs/baseline_derivation.md)",
             }

@@ -42,6 +42,31 @@ def main() -> None:
 
         return f
 
+    def scan_tiled(tile, unroll):
+        """lax.scan over tiles with ``unroll`` bodies per iteration — lets
+        XLA interleave/pipeline adjacent tiles' ops inside one loop step
+        (attacking the serial tile chain's residual, VERDICT r3 item 7)."""
+
+        def f(sv, tv, x):
+            xt = x.reshape(batch // tile, tile, *x.shape[1:])
+            _, yt = jax.lax.scan(
+                lambda c, xx: (c, forward(sv, tv, xx)), None, xt, unroll=unroll)
+            return yt.reshape(batch, *yt.shape[2:])
+
+        return f
+
+    def py_unrolled(tile):
+        """Full unroll: straight-line tile programs, no loop machinery at
+        all — upper bound on what pipelining can recover (compile ~n_tiles x
+        slower)."""
+
+        def f(sv, tv, x):
+            xt = x.reshape(batch // tile, tile, *x.shape[1:])
+            ys = [forward(sv, tv, xt[i]) for i in range(batch // tile)]
+            return jnp.concatenate(ys, axis=0)
+
+        return f
+
     def measure(fwd, n2, trials=3, label=""):
         f1 = bench._chained(fwd, 1)
         f2 = bench._chained(fwd, n2)
@@ -59,6 +84,14 @@ def main() -> None:
             print(f"tile {tile}: skipped (does not divide {batch})")
             continue
         measure(tiled(tile), 9, label=f"batch {batch} tile {tile:4d}")
+        if "--unroll" in sys.argv:
+            for u in (2, 4):
+                if batch // tile >= u:
+                    measure(scan_tiled(tile, u), 9,
+                            label=f"batch {batch} tile {tile:4d} scanU{u}")
+        if "--py-unroll" in sys.argv:
+            measure(py_unrolled(tile), 9,
+                    label=f"batch {batch} tile {tile:4d} fullunroll")
 
 
 if __name__ == "__main__":

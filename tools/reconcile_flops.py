@@ -15,6 +15,9 @@ Run on the real TPU backend (compile-only; no meaningful device time).
 from __future__ import annotations
 
 import json
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def train_flops(dtype: str) -> float:
