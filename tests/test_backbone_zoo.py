@@ -67,6 +67,23 @@ class TestExperimentalArchs:
         out = m.apply(v, x, prior, train=False)
         assert out.shape == (1, 16, 32, 3)
 
+    def test_textzoom_net_registry(self):
+        """model/net.py's TextZoom to its intended semantics (the file is
+        dead-on-arrival in the reference: net.py:15 imports a nonexistent
+        ``AttentionalImageLoss``).  Its block bodies are line-identical to
+        tsrn.py's, so the alias must be exactly the documented
+        TSRN(mask=False, srb=6, 64ch) configuration — and every CLI arch
+        choice must resolve in the registry.  Forward coverage comes from
+        the generic test_arch_forward parametrization."""
+        from tpgsr_tpu.config import ARCH_CHOICES
+        from tpgsr_tpu.models.tsrn import TSRN
+
+        assert set(ARCH_CHOICES) <= set(ARCHS)
+        model, spec = build_model("textzoom_net", {"STN": False}, CFG)
+        assert isinstance(model, TSRN)
+        assert (model.mask, model.srb_nums, model.hidden_units) == (False, 6, 32)
+        assert (spec.in_channels, spec.uses_prior, spec.crit) == (3, False, "image")
+
     def test_gumbel_softmax(self):
         import jax
 

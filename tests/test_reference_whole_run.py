@@ -238,6 +238,48 @@ def _ref_config(tmp, train_dir, val_dirs, crnn_path):
     return cfg
 
 
+@contextlib.contextmanager
+def cpu_cuda_shim():
+    """Run the reference's CUDA-era torch-1.2 code on this CUDA-less,
+    torch-2.x host.  Two environment shims, numerics unchanged:
+
+    * ASTER's attention head calls ``.cuda()`` on tensors unconditionally
+      (model/recognizer/attention_recognition_head.py:30-91,210-261 — hit
+      by EVERY eval-mode forward via beam_search,
+      recognizer_builder.py:93): ``Tensor.cuda``/``Module.cuda`` become
+      identity and ``torch.cuda.device`` a nullcontext.
+    * beam_search computes predecessor indices as ``candidates /
+      num_classes + pos`` (attention_recognition_head.py:111) — integer
+      division on torch 1.2 (the reference's badge), TRUE division (float)
+      on this torch, so ``index_select`` raises.  Coercing a float index to
+      long restores the 1.2 values exactly: trunc(k + frac + pos) with
+      0 <= frac < 1 and exact small-int floats is k + pos, the 1.2
+      floor-division result.  Only would-be-TypeError calls are touched —
+      long-index calls pass through untouched.
+    """
+    old_t = torch.Tensor.cuda
+    old_m = torch.nn.Module.cuda
+    old_d = torch.cuda.device
+    old_is = torch.Tensor.index_select
+
+    def _index_select(self, dim, index):
+        if isinstance(index, torch.Tensor) and index.is_floating_point():
+            index = index.long()
+        return old_is(self, dim, index)
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.device = lambda *a, **k: contextlib.nullcontext()
+    torch.Tensor.index_select = _index_select
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = old_t
+        torch.nn.Module.cuda = old_m
+        torch.cuda.device = old_d
+        torch.Tensor.index_select = old_is
+
+
 def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
                   arg_over=None, epochs=EPOCHS, val_over=None, opt=None):
     """Drive the reference orchestrator.  ``arg_over`` extends/overrides the
@@ -265,7 +307,6 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
     old_writer = sup.SummaryWriter
     old_save = base.TextBase.save_checkpoint
     old_backward = torch.Tensor.backward
-    old_cuda_device = torch.cuda.device
 
     def spy_backward(self, *a, **k):
         if self.ndim == 0:  # the train loop's single scalar loss_im
@@ -288,10 +329,9 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
         sup.SummaryWriter = lambda d: recorder
         base.TextBase.save_checkpoint = spy_save
         torch.Tensor.backward = spy_backward
-        torch.cuda.device = lambda *a, **k: contextlib.nullcontext()
         work = os.path.join(tmp, "ref_run")
         os.makedirs(work, exist_ok=True)
-        with _chdir(work):
+        with cpu_cuda_shim(), _chdir(work):
             torch.manual_seed(1234)
             t = sup.TextSR(cfg, args, opt)
             t.train()
@@ -299,7 +339,6 @@ def run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
         sup.SummaryWriter = old_writer
         base.TextBase.save_checkpoint = old_save
         torch.Tensor.backward = old_backward
-        torch.cuda.device = old_cuda_device
 
     evals = {}
     for split in [os.path.basename(d) for d in val_dirs]:

@@ -43,6 +43,7 @@ from tests.test_reference_whole_run import (
     _install_profiler_stubs,
     _render_set,
     _write_lmdb,
+    cpu_cuda_shim,
     install_lmdb_shim,
     run_ours,
     run_reference,
@@ -77,7 +78,9 @@ def _relabel_with_aster_preds(lmdb_dir, tm_aster, aster_info, metrics_mod,
     )
     items = [ds[i] for i in range(len(ds))]
     images_hr = coll(items)[0]
-    with torch.no_grad():
+    # eval-mode ASTER always beam-searches, which hardcodes .cuda()
+    # (attention_recognition_head.py:81-91) — shim it to CPU
+    with torch.no_grad(), cpu_cuda_shim():
         out = tm_aster({
             "images": _parse_aster_torch(images_hr),
             "rec_targets": torch.ones(

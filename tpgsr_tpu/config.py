@@ -20,7 +20,7 @@ ARCH_CHOICES = [
     "lapsrn", "tsrn_tl_wmask", "tsrn_tl_cascade", "srcnn_tl", "srresnet_tl",
     "rdn_tl", "vdsr_tl", "tsrn_tl",
     # extras beyond the reference CLI (present in its model zoo)
-    "tsrn_c2f", "sem_tsrn", "esrgan_tl",
+    "tsrn_c2f", "sem_tsrn", "esrgan_tl", "textzoom_net",
 ]
 
 _DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "configs", "super_resolution.yaml")

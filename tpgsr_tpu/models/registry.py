@@ -98,6 +98,21 @@ ARCHS = {
         ), "image", 4, False,
     ),
     "esrgan_tl": ArchSpec(lambda a, c: RRDBNet_TL(c["scale_factor"]), "l1", 3, True),
+    # model/net.py's TextZoom net, to its INTENDED semantics: the file is
+    # dead-on-arrival in the reference (model/net.py:15 imports a
+    # nonexistent `AttentionalImageLoss` -> ImportError), but the class it
+    # meant to define (net.py:18-68) is structurally TSRN with a plain
+    # 3-channel input, 6 recurrent residual blocks, and 64 channels — its
+    # RecurrentResidualBlock/GruBlock/UpsampleBLock/mish bodies
+    # (net.py:71-137) are line-identical to tsrn.py:373-508 — so it is
+    # exposed as exactly that configuration of our TSRN.
+    "textzoom_net": ArchSpec(
+        lambda a, c: TSRN(
+            scale_factor=c["scale_factor"], width=c["width"], height=c["height"],
+            stn=a["STN"], mask=False, srb_nums=6, hidden_units=32,
+        ),
+        "image", 3, False,
+    ),
 }
 
 
