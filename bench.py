@@ -217,7 +217,7 @@ def _bench_train(batch: int = BATCH, n2: int = TRAIN_N2,
     return b / per_step, flops1
 
 
-def _bench_train_e2e(chunks: int = 4, k_override: int = None) -> float:
+def _bench_train_e2e(chunks: int = 4, k_override: "int | None" = None) -> float:
     """Steady-state END-TO-END training rate: synthetic-LMDB loader ->
     collate -> host->device (uint8 wire) -> chunked k-step dispatch — the
     wall-clock number a real training run sees (docs/perf_notes.md's
@@ -253,7 +253,8 @@ def _bench_train_e2e(chunks: int = 4, k_override: int = None) -> float:
         t.cache_images = True
         # steps per dispatch — the YAML ships dispatch_chain: 25, so the
         # bench measures exactly what train_TPGSR-TSRN.sh gets.
-        k = max(1, int(k_override or t.get("dispatch_chain", 1)))
+        k = max(1, int(k_override if k_override is not None
+                       else t.get("dispatch_chain", 1)))
         t.dispatch_chain = k
         mission = TextSR(config, args, tpg_opt())
         loader = mission.get_train_data()

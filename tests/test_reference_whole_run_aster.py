@@ -20,10 +20,9 @@ weights exist on this box); half the val labels are rewritten to that
 ASTER's own HR predictions through the real reference eval path so accuracy
 is a live signal, not a vacuous 0 == 0.
 
-MORAN is not drivable here: the reference's ``MORAN_init`` hardcodes
-``inputDataType='torch.cuda.FloatTensor', CUDA=True`` (base.py:587-606) and
-MORN's __init__ calls ``.cuda()`` — dead on a CUDA-less host.  MORAN decode
-glue is covered at unit level (tests/test_recognizers.py).
+MORAN is driven the same way in tests/test_reference_whole_run_moran.py
+(its hardcoded ``inputDataType='torch.cuda.FloatTensor'`` needs one more
+scoped shim on top of cpu_cuda_shim — see ``moran_type_shim`` there).
 """
 
 from __future__ import annotations

@@ -5,9 +5,10 @@ With the host loader off the critical path (transformed-array cache,
 docs/perf_notes.md), the remaining e2e-vs-step-only gap is per-chunk
 overhead: the np.stack of k collated batches, one host->device transfer,
 one dispatch, and the device-sync readback.  All of these amortize with k,
-so this sweeps TRAIN.dispatch_chain and reports img/s per k.  Each k uses
-the same number of TOTAL steps (chunks*k = const) so the timed window is
-comparable.
+so this sweeps TRAIN.dispatch_chain and reports img/s per k.  Each k runs
+chunks = max(2, round(total/k)) chunks (so chunks*k tracks the ~200-step
+budget for any k, and every k gets >=2 timed chunks); the actual step count
+chunks*k is printed alongside img/s so cross-k comparisons stay honest.
 
 Run on the real TPU.  If a larger k beats the YAML's 25 by >=5%, ship it as
 the default (val/save boundaries still split chains exactly — trajectory
@@ -30,10 +31,11 @@ def main() -> None:
     total_steps = 200  # same timed work for every k
     out = {}
     for k in ks:
-        chunks = max(1, total_steps // k)
+        chunks = max(2, round(total_steps / k))
         ips = bench._bench_train_e2e(chunks=chunks, k_override=k)
         out[k] = round(ips, 1)
-        print(f"k={k:4d} chunks={chunks:3d}  {ips:8.1f} img/s", flush=True)
+        print(f"k={k:4d} chunks={chunks:3d} steps={chunks * k:4d}"
+              f"  {ips:8.1f} img/s", flush=True)
     print(json.dumps({"train_e2e_ips_by_dispatch_chain": out}))
 
 

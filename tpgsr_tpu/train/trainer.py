@@ -368,7 +368,17 @@ class TextSR:
 
     def _eval_recognizer(self):
         """test_bible[--test_model] (super_resolution.py:107-135): the frozen
-        eval recognizer + its host-side string decoder."""
+        eval recognizer + its host-side string decoder.
+
+        Imported checkpoints arrive as numpy trees (interop); they are
+        converted to jnp here because traced-index lookups inside the jitted
+        eval step (e.g. MORAN's char_embeddings[target]) reject numpy
+        operands."""
+        import jax.numpy as jnp
+
+        def _dev(variables):
+            return jax.tree.map(jnp.asarray, variables)
+
         kind = self.args.get("test_model", "CRNN")
         val = self.config.TRAIN.VAL
         if kind == "ASTER":
@@ -384,7 +394,7 @@ class TextSR:
             if path and os.path.exists(path):
                 from tpgsr_tpu.interop.torch_import import import_aster, load_torch_state_dict
 
-                variables = import_aster(load_torch_state_dict(path))
+                variables = _dev(import_aster(load_torch_state_dict(path)))
             else:
                 x = np.zeros((1, 32, 128, 3), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
@@ -410,7 +420,7 @@ class TextSR:
             if path and os.path.exists(path):
                 from tpgsr_tpu.interop.torch_import import import_moran, load_torch_state_dict
 
-                variables = import_moran(load_torch_state_dict(path))
+                variables = _dev(import_moran(load_torch_state_dict(path)))
             else:
                 x = np.zeros((1, 32, 100, 1), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
@@ -424,7 +434,7 @@ class TextSR:
             if path and os.path.exists(path):
                 from tpgsr_tpu.interop.torch_import import import_crnn, load_torch_state_dict
 
-                variables = import_crnn(load_torch_state_dict(path))
+                variables = _dev(import_crnn(load_torch_state_dict(path)))
             else:
                 x = np.zeros((1, 32, 100, 1), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
