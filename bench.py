@@ -251,7 +251,7 @@ def _bench_train_e2e(chunks: int = 4, k_override: "int | None" = None) -> float:
         t.batch_size = BATCH
         t.train_data_dir = [tmp + "/train"]
         t.cache_images = True
-        # steps per dispatch — the YAML ships dispatch_chain: 25, so the
+        # steps per dispatch — the YAML ships dispatch_chain: 50, so the
         # bench measures exactly what train_TPGSR-TSRN.sh gets.
         k = max(1, int(k_override if k_override is not None
                        else t.get("dispatch_chain", 1)))
@@ -291,10 +291,17 @@ def _bench_train_e2e(chunks: int = 4, k_override: "int | None" = None) -> float:
             return state
 
         state = run(1, state)  # warm: compile + populate decode cache
-        t0 = time.perf_counter()
-        run(chunks, state)
-        dt = time.perf_counter() - t0
-        return chunks * k * BATCH / dt
+        # median of 3 independent windows: the e2e number is host+tunnel
+        # sensitive and a single window swings with transient VM/tunnel
+        # load (observed 2026-08-20: same config, 1.7k-2.4k img/s across
+        # runs hours apart); the median pins repeat runs much tighter
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run(chunks, state)
+            dt = time.perf_counter() - t0
+            rates.append(chunks * k * BATCH / dt)
+        return float(np.median(rates))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -409,7 +409,7 @@ def run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd, arg_over=None,
         with _chdir(work):
             ts = TextSR(config, args, opt)
             state = ts.init_state()
-            v = ti.import_tsrn(sr_sd, srb_nums=5)
+            v = ti.import_sr_checkpoint(kw["arch"], sr_sd, srb_nums=5)
             # the reference loads the SAME resume file into every cascade
             # stage (generator_init(i), super_resolution.py:87-94); copy the
             # tree per stage so donated buffers never alias
