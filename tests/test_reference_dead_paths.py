@@ -1,0 +1,109 @@
+"""Shipped-launch-script dead paths: proven against the reference's own code.
+
+The reference ships 9 launch scripts; two of them crash at the first
+training iteration on the code as checked in.  Each dead path gets a proof
+pair here (or in its whole-run file): the reference raises, OUR
+orchestrator runs the same flag set with the coherent semantics.
+
+1. ``train_TSRN.sh`` (plain TSRN, this file): for ``--arch=tsrn`` the
+   dataset dispatch selects ``alignCollate_realWTLAMask``
+   (interfaces/base.py:137-141), which returns SIX fields
+   (dataset/dataset.py:1240-1323), but the train loop unpacks THREE
+   (``images_hr, images_lr, label_strs = data``,
+   super_resolution.py:205-206) -> ValueError on the first batch.  (Its
+   val side is equally incoherent: ``load_dataset_val =
+   lmdbDataset_realForTest``, a directory-of-images reader, pointed at the
+   LMDB val dirs.)  Ours runs ``tsrn`` with the plain `real` collate and
+   ImageLoss, the semantics the arch had before the WTLAMask experiment
+   was left in the dispatch table.
+
+2. ``train_TPGSR-SRResNet.sh``: NameError at the first display tick —
+   proven in tests/test_reference_whole_run_srresnet3.py
+   (``test_reference_shipped_3stage_script_is_dead``) alongside the
+   whole-run parity fixture for its minimal working superset.
+
+Related dead code (not launch scripts) is covered elsewhere: the SEED eval
+path (NameError, models/seed.py docstring — functional here), model/net.py
+(imports a nonexistent class — exposed as ``--arch textzoom_net``), and
+the TypeError-dead W2V collate (test_reference_collate_parity.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from tests.reference_loader import load_reference_module, reference_available
+from tests.test_reference_whole_run import (
+    HD_U,
+    N_TRAIN,
+    N_VAL,
+    SPLITS,
+    _install_profiler_stubs,
+    _render_set,
+    _write_lmdb,
+    install_lmdb_shim,
+    run_ours,
+    run_reference,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference checkout not present"
+)
+
+# train_TSRN.sh: --arch=tsrn --batch_size=48 --STN --mask --use_distill
+# --gradient --sr_share --stu_iter=1 (use_distill is ignored by the plain
+# branch, super_resolution.py:230-233; use_label off as shipped)
+ARG_OVER = dict(arch="tsrn", use_label=False, use_distill=True, stu_iter=1,
+                sr_share=True)
+
+
+def _make_fixture_data(tmp):
+    crnn_mod = load_reference_module("model.crnn.crnn")
+    tsrn_mod = load_reference_module("model.tsrn")
+
+    torch.manual_seed(7)
+    tm_crnn = crnn_mod.CRNN(32, 1, 37, 256).eval()
+    crnn_path = os.path.join(tmp, "crnn.pth")
+    torch.save(tm_crnn.state_dict(), crnn_path)
+
+    torch.manual_seed(11)
+    tm_sr = tsrn_mod.TSRN(
+        scale_factor=2, width=128, height=32, STN=True, srb_nums=5,
+        mask=True, hidden_units=HD_U,
+    )
+    sr_sd = {k: v.detach().numpy().copy() for k, v in tm_sr.state_dict().items()}
+    sr_resume = os.path.join(tmp, "sr_init", "sr_init.pth")
+    os.makedirs(os.path.dirname(sr_resume))
+    torch.save({"state_dict_G": tm_sr.state_dict()}, sr_resume)
+
+    train_dir = os.path.join(tmp, "train")
+    _write_lmdb(train_dir, _render_set(N_TRAIN, seed=21))
+    val_dirs = []
+    for si, split in enumerate(SPLITS):
+        d = os.path.join(tmp, split)
+        _write_lmdb(d, _render_set(N_VAL, seed=40 + si))
+        val_dirs.append(d)
+    return crnn_path, sr_sd, sr_resume, train_dir, val_dirs
+
+
+def test_reference_shipped_plain_tsrn_script_is_dead(tmp_path):
+    tmp = str(tmp_path)
+    install_lmdb_shim()
+    _install_profiler_stubs()
+    crnn_path, sr_sd, sr_resume, train_dir, val_dirs = _make_fixture_data(tmp)
+
+    with pytest.raises(ValueError, match="too many values to unpack"):
+        run_reference(tmp, train_dir, val_dirs, crnn_path, sr_resume,
+                      arg_over=ARG_OVER, epochs=2)
+
+    ours = run_ours(tmp, train_dir, val_dirs, crnn_path, sr_sd,
+                    arg_over=ARG_OVER, epochs=2)
+    assert len(ours["losses"]) == 2
+    assert all(np.isfinite(ours["losses"]))
+    for split in SPLITS:
+        md = ours["evals"][split]
+        assert md["psnr_avg"] is not None and np.isfinite(md["psnr_avg"])
