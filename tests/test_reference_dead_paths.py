@@ -22,6 +22,19 @@ orchestrator runs the same flag set with the coherent semantics.
    (``test_reference_shipped_3stage_script_is_dead``) alongside the
    whole-run parity fixture for its minimal working superset.
 
+3. ``--test`` with ``--rec=crnn`` (the default rec, this file): the
+   standalone benchmark path does ``crnn = self.CRNN_init();
+   crnn.eval()`` (super_resolution.py:1361-1363) but ``CRNN_init`` returns
+   a ``(model, aster_info)`` TUPLE (base.py:634-660) -> AttributeError
+   before the first batch.  (Deeper in the same branch:
+   ``crnn_input["images"]`` string-indexes the tensor
+   ``parse_crnn_data`` returns, and ``model(images_hr)`` at :1381 feeds HR
+   to the SR model — the documented latent quirk.)  The maintained
+   benchmark path is ``--go_test`` through train() (test.sh).  Ours runs
+   --test --rec=crnn end-to-end and returns the
+   accuracy/psnr_avg/ssim_avg/fps dict, feeding LR (trainer.test
+   docstring records the quirk decision).
+
 Related dead code (not launch scripts) is covered elsewhere: the SEED eval
 path (NameError, models/seed.py docstring — functional here), model/net.py
 (imports a nonexistent class — exposed as ``--arch textzoom_net``), and
@@ -88,6 +101,51 @@ def _make_fixture_data(tmp):
         _write_lmdb(d, _render_set(N_VAL, seed=40 + si))
         val_dirs.append(d)
     return crnn_path, sr_sd, sr_resume, train_dir, val_dirs
+
+
+def test_reference_standalone_test_rec_crnn_is_dead(tmp_path):
+    """--test --rec=crnn: AttributeError in the reference (docstring #3);
+    ours returns the full metric dict."""
+    import tests.test_reference_whole_run as wr
+    from tpgsr_tpu.config import AttrDict, default_args, load_config, tpg_opt
+    from tpgsr_tpu.train.trainer import TextSR
+
+    tmp = str(tmp_path)
+    install_lmdb_shim()
+    _install_profiler_stubs()
+    crnn_mod = load_reference_module("model.crnn.crnn")
+    torch.manual_seed(7)
+    tm_crnn = crnn_mod.CRNN(32, 1, 37, 256).eval()
+    crnn_path = os.path.join(tmp, "crnn.pth")
+    torch.save(tm_crnn.state_dict(), crnn_path)
+    td = os.path.join(tmp, "testset")
+    _write_lmdb(td, _render_set(4, seed=5))
+
+    sup = load_reference_module("interfaces.super_resolution")
+    cfg = wr._ref_config(tmp, td, [td], crnn_path)
+    args = wr._ref_args(test=True, test_data_dir=td, rec="crnn", resume="")
+    work = os.path.join(tmp, "ref_run")
+    os.makedirs(work)
+    with pytest.raises(AttributeError, match="'tuple' object has no attribute"):
+        with wr.cpu_cuda_shim(), wr._chdir(work):
+            torch.manual_seed(1234)
+            sup.TextSR(cfg, args, None).test()
+
+    config = load_config()
+    t = config.TRAIN
+    t.batch_size = 4
+    t.workers = 0
+    t.n_devices = 1
+    t.compute_dtype = "fp32"
+    t.ckpt_dir = os.path.join(tmp, "ckpt")
+    config.TEST.test_data_dir = td
+    ours_args = AttrDict(default_args(
+        arch="tsrn_tl_cascade", mask=True, STN=True, sr_share=True,
+        stu_iter=1, hd_u=HD_U, srb=5, batch_size=4, test=True,
+        test_data_dir=td, rec="crnn", vis_dir="dead_test_ours"))
+    md = TextSR(config, ours_args, tpg_opt()).test()
+    for k in ("accuracy", "psnr_avg", "ssim_avg", "fps"):
+        assert k in md and np.isfinite(md[k]), (k, md)
 
 
 def test_reference_shipped_plain_tsrn_script_is_dead(tmp_path):
