@@ -352,3 +352,61 @@ def test_chunked_train_calls_continue_globally(lmdb_dir, tmp_path, monkeypatch):
     assert any(r["tag"] == "loss/total" and r["step"] == 5 for r in recs)
     # the valInterval=4 eval fired (impossible with per-call iters 1..2)
     assert any(r["tag"].startswith("eval/") and r["step"] == 4 for r in recs)
+
+
+def test_train_with_syn_dataset(lmdb_dir, tmp_path, monkeypatch):
+    """--syn: SingleImageLMDB (HR-only records) + the syn collate
+    (alignCollate_syn semantics: LR = PIL-bicubic downsample of HR,
+    dataset.py:901-992) drive the SAME jitted train step end-to-end
+    (interfaces/base.py:72-101's syn dispatch, exercised nowhere else in
+    the suite)."""
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.VAL.valInterval = 4
+    t.saveInterval = 1000
+    t.displayInterval = 1000
+    t.batch_size = 8
+    t.epochs = 3  # 2 iters/epoch -> 6 iters: crosses the 5-iter loss log
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(
+        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True,
+        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
+        srb=2, hd_u=8, batch_size=8, syn=True, vis_dir="syn_e2e",
+    )
+    state = TextSR(config, args).train()
+    assert int(np.asarray(state.step)) == 6
+    log = os.path.join("tensorboard", "syn_e2e", "scalars.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    losses = [r["value"] for r in recs if r["tag"] == "loss/total"]
+    assert losses and all(np.isfinite(losses))
+    assert any(r["tag"].startswith("eval/") for r in recs)
+
+
+def test_train_with_mixed_dataset(lmdb_dir, tmp_path, monkeypatch):
+    """--mixed: MixedLMDB's HR-as-LR coin flip (lmdbDataset_mix,
+    dataset.py:766-813) through the full train loop."""
+    monkeypatch.chdir(tmp_path)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [lmdb_dir]
+    t.VAL.val_data_dir = [lmdb_dir]
+    t.VAL.valInterval = 1000
+    t.saveInterval = 1000
+    t.displayInterval = 1000
+    t.batch_size = 8
+    t.epochs = 3  # 2 iters/epoch -> 6 iters: crosses the 5-iter loss log
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(
+        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True,
+        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
+        srb=2, hd_u=8, batch_size=8, mixed=True, vis_dir="mixed_e2e",
+    )
+    state = TextSR(config, args).train()
+    assert int(np.asarray(state.step)) == 6
+    log = os.path.join("tensorboard", "mixed_e2e", "scalars.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    losses = [r["value"] for r in recs if r["tag"] == "loss/total"]
+    assert losses and all(np.isfinite(losses))
