@@ -392,6 +392,7 @@ def fused_sr_head(
       k9: the HR conv kernel [9, 9, ch, out_c].
       bias9: [out_c] or None.
     """
+    k9 = jnp.asarray(k9)  # numpy params would route k9[u] through np indexing
     kk, _, ch, out_c = k9.shape
     u_idx, valid_u, nt = _phase_decomp_indices(kk, 2)
     u = jnp.asarray(u_idx)  # [5,2,2]

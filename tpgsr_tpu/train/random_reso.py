@@ -108,3 +108,111 @@ def eval_random_reso(
         out.append(np.asarray(cascade)[0])
         stat.append("SR")
     return out, stat
+
+
+def evaluate_random_reso_loader(
+    val_loader,
+    stu_applies: Sequence[Callable],
+    sr_applies: Sequence[Callable],
+    rec_apply: Callable,
+    decoder: Callable,
+    stu_iter: int = 1,
+    conf_threshold: float = 0.85,
+    min_height: int = 16,
+    is_tl: bool = True,
+) -> Dict[str, float]:
+    """--random_reso validation over a loader of variable-resolution batches
+    (super_resolution.py:624-731 + the ``type(images_sr) == list`` metric
+    branches :832-1160).
+
+    Batches come either from the syn_random_reso collate
+    ({"hr_list","lr_list","labels"}, native resolutions) or from a
+    fixed-shape collate ({"hr","lr",...} arrays, split per image).  Per
+    image: stage-0 student confidence on the LR gates SR
+    (conf > threshold AND H > min_height -> keep LR, reference
+    :703-707 / :627-643); otherwise the cascade refreshes the prior from
+    the previous stage's SR while every SR stage consumes the ORIGINAL LR
+    (:718-730).  Metrics mirror the reference: eval-recognizer accuracy on
+    SR/LR/HR after str_filt(.,'lower'), PSNR/SSIM vs HR with the SR output
+    bilinearly resized on shape mismatch (:1007-1011), plus go_LR/go_SR
+    gate counters.
+
+    ``stu_applies``/``sr_applies``: per-stage fns (index i = cascade stage;
+    pass the same fn stu_iter times for --tpg_share/--sr_share).  Every
+    sr_apply takes (lr, prior) — plain (non-TL) archs ignore the prior.
+    """
+    from tpgsr_tpu.charset import str_filt
+    from tpgsr_tpu.ops.image import calculate_psnr, ssim
+    from tpgsr_tpu.ops.resize import interpolate_bilinear
+
+    bucketed = [BucketedSR(fn) for fn in sr_applies]
+    resize_cache: Dict[Tuple[int, int, int, int], Callable] = {}
+
+    def _first(x):
+        a = np.asarray(x, np.float32)
+        return a[0] if a.ndim == 4 else a
+
+    n = c_sr = c_lr = c_hr = 0
+    psnrs: List[float] = []
+    ssims: List[float] = []
+    go = {"LR": 0, "SR": 0}
+    for batch in val_loader:
+        if "lr_list" in batch:
+            lrs = [_first(x) for x in batch["lr_list"]]
+            hrs = [_first(x) for x in batch["hr_list"]]
+        else:
+            lrs = list(np.asarray(batch["lr"], np.float32))
+            hrs = list(np.asarray(batch["hr"], np.float32))
+        labels = batch["labels"]
+        confs = cal_conf(lrs, stu_applies[0])
+        for img_lr, img_hr, label, conf in zip(lrs, hrs, labels, confs):
+            x = img_lr[None]
+            if conf > conf_threshold and x.shape[1] > min_height:
+                sr = x
+                go["LR"] += 1
+            else:
+                go["SR"] += 1
+                cascade = x
+                for i in range(stu_iter):
+                    if is_tl:
+                        logits = np.asarray(stu_applies[i](cascade))
+                        prior = np.asarray(logits_to_prior(logits))
+                    else:
+                        prior = np.zeros((1, 1, 1, 1), np.float32)
+                    cascade = bucketed[i](x, prior)
+                sr = np.asarray(cascade)
+            hr = img_hr[None]
+            srm = sr
+            if srm.shape != hr.shape:
+                key = srm.shape[1:3] + hr.shape[1:3]
+                fn = resize_cache.get(key)
+                if fn is None:
+                    import functools
+
+                    import jax
+
+                    fn = jax.jit(functools.partial(
+                        interpolate_bilinear, size=hr.shape[1:3]))
+                    resize_cache[key] = fn
+                srm = np.asarray(fn(srm))
+            psnrs.append(float(calculate_psnr(srm, hr)))
+            ssims.append(float(ssim(srm, hr)))
+            gt = str_filt(label, "lower")
+            p_sr = str_filt(decoder(np.asarray(rec_apply(sr)))[0], "lower")
+            p_lr = str_filt(decoder(np.asarray(rec_apply(x)))[0], "lower")
+            p_hr = str_filt(decoder(np.asarray(rec_apply(hr)))[0], "lower")
+            c_sr += int(p_sr == gt)
+            c_lr += int(p_lr == gt)
+            c_hr += int(p_hr == gt)
+            n += 1
+    d = float(max(n, 1))
+    return {
+        "accuracy": c_sr / d,
+        "accuracy_lr": c_lr / d,
+        "accuracy_hr": c_hr / d,
+        "psnr_avg": float(np.mean(psnrs)) if psnrs else 0.0,
+        "ssim_avg": float(np.mean(ssims)) if ssims else 0.0,
+        "images": n,
+        "go_LR": go["LR"],
+        "go_SR": go["SR"],
+    }

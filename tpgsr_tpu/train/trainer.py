@@ -489,6 +489,14 @@ class TextSR:
     # ----------------------------------------------------------------- train
     def train(self):
         t = self.config.TRAIN
+        if (self.args.get("random_reso") and self.args.get("syn")
+                and not self.args.get("go_test")):
+            # eval-only mode: the reference's own train loop cannot consume
+            # the variable-resolution list batches either (images_lr.to(...)
+            # on a list, super_resolution.py:224-227 — --random_reso is
+            # exercised through eval/--go_test, :624-731)
+            raise ValueError(
+                "--random_reso with --syn is eval-only; run with --go_test")
         train_loader = self.get_train_data()
         val_loaders = self.get_val_data()
         state = self._state or self.init_state()
@@ -627,6 +635,54 @@ class TextSR:
             "best_model_info": tracker.best_model_info,
         }
 
+    def _run_val_random_reso(self, state, loader) -> Dict[str, float]:
+        """--random_reso validation: per-image confidence-gated SR over
+        variable-resolution batches (super_resolution.py:624-731; the
+        list-type metric branches :832-1160).  CRNN is both the prior
+        source and the eval recognizer here — the reference's non-CRNN
+        random_reso decode glue lives in the same dead list-branches its
+        fixed-reso eval covers, so --test_model stays CRNN for this mode."""
+        import jax
+
+        from tpgsr_tpu.train.priors import parse_crnn_data
+        from tpgsr_tpu.train.random_reso import evaluate_random_reso_loader
+
+        if str(self.args.get("test_model") or "CRNN") != "CRNN":
+            raise ValueError("--random_reso eval supports --test_model=CRNN only")
+        stu_iter = int(self.args.get("stu_iter", 1))
+        sr_share = bool(self.args.get("sr_share", False))
+        tpg_share = bool(self.args.get("tpg_share", False))
+
+        def stu_fn(i):
+            tp = 0 if tpg_share else i
+            v = {"params": state.stu_params[tp], "batch_stats": state.stu_stats[tp]}
+            return lambda x: self.stu_model.apply(v, parse_crnn_data(x), train=False)
+
+        def sr_fn(i):
+            p = 0 if sr_share else i
+            v = {"params": state.sr_params[p], "batch_stats": state.sr_stats[p]}
+            if self.is_tl:
+                return lambda lr, prior: self.sr_model.apply(v, lr, prior, train=False)
+            return lambda lr, prior: self.sr_model.apply(v, lr, train=False)
+
+        tv = {"params": state.teacher_params, "batch_stats": state.teacher_stats}
+        rec_apply = lambda x: self.stu_model.apply(tv, parse_crnn_data(x), train=False)
+        from tpgsr_tpu.train.evaluate import _decode_crnn
+
+        # thresholds: 0.85 for the cascade archs, 0.9 for tsrn
+        # (super_resolution.py:703 vs :630)
+        thr = 0.85 if self.arch in ABLATION_SET else 0.9
+        return evaluate_random_reso_loader(
+            loader,
+            stu_applies=[stu_fn(i) for i in range(stu_iter)],
+            sr_applies=[sr_fn(i) for i in range(stu_iter)],
+            rec_apply=rec_apply,
+            decoder=self._decoder or _decode_crnn,
+            stu_iter=stu_iter,
+            conf_threshold=thr,
+            is_tl=self.is_tl,
+        )
+
     def _run_val(self, state, val_loaders, logger, iters) -> Dict[str, Dict[str, float]]:
         """Evaluate every val split; returns {split: metric_dict} in order."""
         t = self.config.TRAIN
@@ -637,7 +693,10 @@ class TextSR:
             if self.args.get("go_test"):
                 kw["vis_dir"] = self.vis_dir
                 kw["n_vis"] = int(t.VAL.get("n_vis", 10))
-            md = evaluate(self._eval_step, state, loader, mesh=self.mesh, **kw)
+            if self.args.get("random_reso"):
+                md = self._run_val_random_reso(state, loader)
+            else:
+                md = evaluate(self._eval_step, state, loader, mesh=self.mesh, **kw)
             print(
                 f"  [val {name}] acc={md['accuracy']:.4f} (lr={md['accuracy_lr']:.4f} "
                 f"hr={md['accuracy_hr']:.4f}) psnr={md['psnr_avg']:.2f} ssim={md['ssim_avg']:.4f}"
