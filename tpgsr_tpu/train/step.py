@@ -387,7 +387,8 @@ def make_eval_step(
         # 4-channel archs) while cal_psnr slices to RGB internally
         # (super_resolution.py:974-975, utils/ssim_psnr.py:9-15,61-66)
         outs["ssim"] = ssim(sr, hr[..., : sr.shape[-1]], size_average=False)
-        can_recognize = rec_kind != "CRNN" or state.teacher_params is not None
+        can_recognize = (rec_kind != "CRNN" or rec_model is not None
+                         or state.teacher_params is not None)
         if with_recognizer and can_recognize:
             for name, img in (("sr", sr), ("lr", lr), ("hr", hr)):
                 outs[f"logits_{name}"] = recognize(state, img)

@@ -425,10 +425,14 @@ class TextSR:
                 x = np.zeros((1, 32, 100, 1), np.float32)
                 variables = model.init(jax.random.PRNGKey(7), x, train=False)
             return ("MORAN", model, variables), decode_moran_ids
-        if self.args.get("tpg") == "OPT":
-            # teacher is the OPT model, so the CRNN eval recognizer must be
-            # its own module loaded from crnn_pretrained (CRNN_init,
-            # super_resolution.py:109-116 — independent of the TPG choice)
+        if self.args.get("tpg") == "OPT" or not self.is_tl:
+            # the eval CRNN must be its own module loaded from
+            # crnn_pretrained (CRNN_init, super_resolution.py:109-116 —
+            # independent of the TPG choice) whenever the teacher TPG can't
+            # stand in for it: under --tpg=OPT (teacher is the clova model)
+            # and for ALL non-TL archs (no teacher in the state at all —
+            # the reference still scores srcnn/srres/rdn/vdsr/tsrn eval
+            # accuracy through the test_bible CRNN)
             model = CRNN(nclass=CTC_NUM_CLASSES)
             path = val.get("crnn_pretrained", "")
             if path and os.path.exists(path):
@@ -665,8 +669,18 @@ class TextSR:
                 return lambda lr, prior: self.sr_model.apply(v, lr, prior, train=False)
             return lambda lr, prior: self.sr_model.apply(v, lr, train=False)
 
-        tv = {"params": state.teacher_params, "batch_stats": state.teacher_stats}
-        rec_apply = lambda x: self.stu_model.apply(tv, parse_crnn_data(x), train=False)
+        if self.is_tl:
+            tv = {"params": state.teacher_params, "batch_stats": state.teacher_stats}
+            rec_apply = lambda x: self.stu_model.apply(tv, parse_crnn_data(x), train=False)
+            stu_applies = [stu_fn(i) for i in range(stu_iter)]
+        else:
+            # non-TL (e.g. tsrn): no student/teacher in the state — both the
+            # confidence probe and the accuracy decode use the explicit eval
+            # CRNN (reference: cal_conf's rec_model IS the test_bible CRNN,
+            # super_resolution.py:614,627)
+            (_, rec_model, rec_vars), _dec = self._eval_recognizer()
+            rec_apply = lambda x: rec_model.apply(rec_vars, parse_crnn_data(x), train=False)
+            stu_applies = [rec_apply] * stu_iter
         from tpgsr_tpu.train.evaluate import _decode_crnn
 
         # thresholds: 0.85 for the cascade archs, 0.9 for tsrn
@@ -674,7 +688,7 @@ class TextSR:
         thr = 0.85 if self.arch in ABLATION_SET else 0.9
         return evaluate_random_reso_loader(
             loader,
-            stu_applies=[stu_fn(i) for i in range(stu_iter)],
+            stu_applies=stu_applies,
             sr_applies=[sr_fn(i) for i in range(stu_iter)],
             rec_apply=rec_apply,
             decoder=self._decoder or _decode_crnn,
