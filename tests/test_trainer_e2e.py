@@ -410,3 +410,44 @@ def test_train_with_mixed_dataset(lmdb_dir, tmp_path, monkeypatch):
     recs = [json.loads(l) for l in open(log)]
     losses = [r["value"] for r in recs if r["tag"] == "loss/total"]
     assert losses and all(np.isfinite(losses))
+
+
+def test_train_with_ic15sr_dataset(tmp_path, monkeypatch):
+    """--ic15sr: the IC15 TextSR PGM-folder dataset (lmdbDataset_realIC15TextSR,
+    dataset.py:152-238) through the full train loop + eval — the last
+    dataset-selection flag without an end-to-end drive."""
+    from tests.fixtures import render_word
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "ic15"
+    for sub in ("HRx2/train", "LRx2/train", "HRx2/test", "LRx2/test"):
+        (root / sub).mkdir(parents=True)
+    words = ["abc", "de", "fgh", "ij", "klm", "no", "pqr", "st"]
+    for split in ("train", "test"):
+        lines = []
+        for i, w in enumerate(words):
+            render_word(w, (128, 32)).convert("L").save(root / "HRx2" / split / f"s{i}.pgm")
+            render_word(w, (64, 16)).convert("L").save(root / "LRx2" / split / f"s{i}.pgm")
+            lines.append(f's{i}, "{w}"')
+        (root / f"{split}_GT.txt").write_text("\n".join(lines) + "\n")
+
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [str(root)]
+    t.VAL.val_data_dir = [str(root)]
+    t.VAL.valInterval = 3  # 1 iter/epoch x 3 epochs: fires at the last iter
+    t.saveInterval = 1000
+    t.displayInterval = 1000
+    t.batch_size = 8
+    t.epochs = 3  # 8 items / batch 8, drop_last -> 1 iter/epoch
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = default_args(
+        arch="tsrn_tl_cascade", STN=False, mask=True, use_distill=True,
+        gradient=True, sr_share=True, tpg_share=True, stu_iter=1,
+        srb=2, hd_u=8, batch_size=8, ic15sr=True, vis_dir="ic15_e2e",
+    )
+    state = TextSR(config, args).train()
+    assert int(np.asarray(state.step)) == 3
+    log = os.path.join("tensorboard", "ic15_e2e", "scalars.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert any(r["tag"].startswith("eval/") for r in recs)

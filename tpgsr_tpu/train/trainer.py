@@ -273,12 +273,16 @@ class TextSR:
 
     def get_val_data(self) -> List[DataLoader]:
         t = self.config.TRAIN
+        # the val dataset follows the same flag dispatch as train
+        # (interfaces/base.py:72-214 sets load_dataset_val per flag/arch —
+        # e.g. --ic15sr vals on the PGM test split, not a TextZoom LMDB)
+        cls = self._dataset_cls(test=True)
+        kw = {}
+        if isinstance(cls, type) and issubclass(cls, TextZoomDataset):
+            kw["cache_images"] = bool(t.get("cache_images", True))
         loaders = []
         for d in t.VAL.val_data_dir:
-            ds = TextZoomDataset(
-                d, voc_type=t.voc_type, max_len=t.max_len, test=True,
-                cache_images=bool(t.get("cache_images", True)),
-            )
+            ds = cls(d, voc_type=t.voc_type, max_len=t.max_len, test=True, **kw)
             loaders.append(
                 DataLoader(ds, int(t.batch_size), self._collate(train=False),
                            shuffle=False, drop_last=False)
