@@ -137,3 +137,35 @@ def test_random_reso_go_test_end_to_end(tmp_path, monkeypatch):
     args2 = AttrDict(default_args(vis_dir="rr2", **base_kw))
     with pytest.raises(ValueError, match="eval-only"):
         TextSR(config, args2).train()
+
+
+def test_random_reso_go_test_fixed_reso_batches(tmp_path, monkeypatch):
+    """--random_reso WITHOUT --syn (the audit's go_test case): batches come
+    from the fixed-shape realWTL collate as arrays — the evaluator splits
+    them per image, and the collate must ship full float 4-channel arrays
+    (not the device-side uint8/mask-append wire the jitted step uses)."""
+    from tests.fixtures import make_textzoom_lmdb
+    from tpgsr_tpu.config import AttrDict, default_args, load_config
+    from tpgsr_tpu.train.trainer import TextSR
+
+    monkeypatch.chdir(tmp_path)
+    d = make_textzoom_lmdb(str(tmp_path / "train"), n=8, seed=1)
+    config = load_config()
+    t = config.TRAIN
+    t.train_data_dir = [d]
+    t.VAL.val_data_dir = [d]
+    t.batch_size = 4
+    t.workers = 0
+    t.ckpt_dir = str(tmp_path / "ckpt")
+    args = AttrDict(default_args(
+        arch="tsrn_tl_cascade", STN=True, mask=True, use_distill=True,
+        gradient=True, sr_share=True, tpg_share=False, stu_iter=1,
+        srb=2, hd_u=8, batch_size=4, random_reso=True, go_test=True,
+        vis_dir="rr_fixed"))
+    ts = TextSR(config, args)
+    ts.train()  # go_test -> _run_val -> _run_val_random_reso on array batches
+    md = ts._run_val_random_reso(ts._state or ts.init_state(),
+                                 ts.get_val_data()[0])
+    assert md["images"] == 8
+    assert md["go_LR"] + md["go_SR"] == 8
+    assert np.isfinite(md["psnr_avg"]) and np.isfinite(md["ssim_avg"])

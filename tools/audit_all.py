@@ -61,6 +61,12 @@ def _config(dirs):
     config.TRAIN.displayInterval = 1
     config.TRAIN.VAL.valInterval = 2
     config.TRAIN.saveInterval = 100
+    # per-step dispatch: the audit checks arch/mode dispatch correctness,
+    # and XLA-CPU compiles the scanned chain step pathologically slowly for
+    # the big plain backbones (edsr: ~2 min single-step vs >15 min scanned
+    # on this 1-core host).  Chunked dispatch has dedicated tests
+    # (test_trainer_e2e, test_multihost) and is a TPU-tunnel optimization.
+    config.TRAIN.dispatch_chain = 1
     config.TRAIN.ckpt_dir = dirs["ckpt"]
     config.TEST.test_data_dir = dirs["val"]
     return config

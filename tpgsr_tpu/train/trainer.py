@@ -219,6 +219,14 @@ class TextSR:
             # transfer-bound wire.  Inactive unless uint8 wire + mask.
             device_mask=bool(t.get("device_mask", True)),
         )
+        if self.args.get("random_reso") and not train:
+            # the random_reso evaluator consumes the collate output on the
+            # HOST (per-image gating/bucketing) — it needs full float
+            # 4-channel arrays, not the device-side uint8/mask-append wire
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, wire_dtype="float32",
+                                      device_mask=False)
         kind = _collate_kind(self.arch, train)
         if self.args.get("syn"):
             kind = "syn_random_reso" if self.args.get("random_reso") else "syn"
